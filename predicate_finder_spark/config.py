@@ -1,0 +1,56 @@
+"""Pipeline configuration.
+
+A single frozen dataclass; its stable hash is what stage manifests record so
+checkpoint/resume can detect "same config, same input -> skip stage".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Knobs for the triple-extraction pipeline.
+
+    Defaults mirror the reference's behavior where one exists:
+    - ``spotlight_confidence`` 0.4  (reference pretreatment/DataExtract.py:131)
+    - ``predicate_blacklist``       (reference pretreatment/DataExtract.py:58-62)
+    - ``max_ngram`` 2 for scoring n-grams (reference baseline/baseline.py:124)
+    - ``default_idf`` 2.0           (reference baseline/baseline.py:133-138)
+    """
+
+    # entity linking
+    min_link_prior: float = 0.4
+    max_mention_ngram: int = 3
+    use_lsh_blocking: bool = False
+    lsh_shingle_size: int = 3
+    lsh_num_hashes: int = 16
+    lsh_bands: int = 4
+    # candidate predicates
+    predicate_blacklist: tuple[str, ...] = (
+        "#", "subject", "wiki", "hypernym", "gender",
+    )
+    # scoring
+    max_ngram: int = 2
+    default_idf: float = 2.0
+    # skew handling
+    salt_buckets: int = 8
+    salted_join: bool = True
+    # language filter (reference DataExtract.py:76: FILTER(lang(?label)='en'))
+    languages: tuple[str, ...] = ("en",)
+    # orchestration
+    checkpoint_dir: str | None = None
+    resume: bool = True
+    extra: dict = field(default_factory=dict, compare=False, hash=False)
+
+    def config_hash(self) -> str:
+        """Stable content hash for stage-manifest resume checks."""
+        d = asdict(self)
+        d.pop("extra", None)
+        d.pop("checkpoint_dir", None)
+        d.pop("resume", None)
+        blob = json.dumps(d, sort_keys=True, default=str).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]

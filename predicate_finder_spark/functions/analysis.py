@@ -1,0 +1,85 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Language ID, quality scoring, token counting, fingerprinting — all pure
+Column expressions so a 100 TB corpus pays zero Python cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.functions.text import tokenize
+
+# Tiny per-language stopword profiles for the n-gram/stopword-hit heuristic.
+# Deliberately small + deterministic (no external model in the sandbox).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "was", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "une", "un", "des", "du", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"),
+}
+
+ENGLISH_STOPWORDS = LANG_PROFILES["en"] + (
+    "for", "on", "with", "as", "at", "by", "an", "be", "are", "from",
+)
+
+
+def _hits(tokens_lower: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens_lower, lambda t: t.isin(*words)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of stopword-profile hits -> string.
+
+    Returns the language with the most profile-word hits; 'und'
+    (undetermined) when nothing matches.  Deterministic tie-break by
+    profile order.
+    """
+    toks = F.transform(tokenize(text), F.lower)
+    scored = None
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang, words in LANG_PROFILES.items():
+        h = _hits(toks, words)
+        better = h > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, h).otherwise(best_hits)
+        scored = True
+    assert scored
+    return best_lang
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace+punct token count (C1 tokenizer)."""
+    return F.size(tokenize(text))
+
+
+def word_token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish token estimate: word-piece regex split — words, digits runs,
+    and individual punctuation each count; long words count ceil(len/4)
+    pieces (a deterministic stand-in for a real BPE vocab)."""
+    toks = tokenize(text)
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.greatest(F.lit(1), F.ceil(F.length(t) / 4).cast("int")),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Document quality in [0,1]: blend of length, alpha ratio, stopword
+    ratio, and mean word length sanity — the usual web-corpus filters
+    (C4-style heuristics), as one codegen'd expression."""
+    toks = F.transform(tokenize(text), F.lower)
+    n = F.size(toks)
+    n_d = n.cast("double")
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double")
+    stop = _hits(toks, ENGLISH_STOPWORDS).cast("double")
+    mean_len = F.when(n > 0, F.length(F.array_join(toks, "")) / n_d).otherwise(F.lit(0.0))
+    len_score = F.least(n_d / F.lit(100.0), F.lit(1.0))
+    alpha_score = F.when(n > 0, alpha / n_d).otherwise(F.lit(0.0))
+    stop_score = F.least(F.when(n > 0, stop / n_d).otherwise(F.lit(0.0)) * 4.0, F.lit(1.0))
+    word_len_score = F.when((mean_len >= 3) & (mean_len <= 10), 1.0).otherwise(0.5)
+    return (len_score + alpha_score + stop_score + word_len_score) / 4.0

@@ -1,0 +1,123 @@
+"""Entity linking: mention surfaces -> candidate entities -> resolved spans.
+
+Replaces DBpedia Spotlight / Falcon REST calls (reference
+pretreatment/DataExtract.py:127-198) with dictionary joins:
+
+stage 1 (candidate generation): equi-join mentions ⋈ aliases on the
+  normalized surface — broadcast when the dictionary fits, salted shuffle
+  otherwise; optional MinHash-LSH blocking for fuzzy surfaces;
+stage 2 (disambiguation): top-1 entity per span by link prior (plays the
+  role of Spotlight's similarityScore, DataExtract.py:146), then
+  containment resolution keeps maximal spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.functions.hashing import char_shingles, lsh_bands, minhash_signature
+from predicate_finder_spark.functions.similarity import jaro_winkler_udf
+from predicate_finder_spark.operators.joins import salted_join
+
+
+def link_mentions(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    min_prior: float = 0.0,
+    broadcast_dict: bool = True,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """mentions ⋈ aliases -> linked mentions with (entity, prior).
+
+    ``broadcast_dict=True`` is right whenever the alias dictionary fits in
+    executor memory (DBpedia surface forms ~ a few GB: broadcastable on big
+    executors; else set ``salt_buckets`` > 0 for a salted shuffle join that
+    spreads Zipfian head surfaces over reducers).
+    """
+    dic = aliases.filter(F.col("prior") >= min_prior).select(
+        F.col("alias").alias("surface"), "entity", "prior"
+    )
+    if broadcast_dict:
+        joined = mentions.join(F.broadcast(dic), "surface", "inner")
+    elif salt_buckets > 1:
+        joined = salted_join(mentions, dic, ["surface"], buckets=salt_buckets,
+                             salt_source="url")
+    else:
+        joined = mentions.join(dic, "surface", "inner")
+    return joined
+
+
+def disambiguate(linked: DataFrame) -> DataFrame:
+    """Top-1 entity per (url, sent_id, start, length) by prior desc, entity
+    asc (deterministic tie-break)."""
+    w = Window.partitionBy("url", "sent_id", "start", "length").orderBy(
+        F.col("prior").desc(), F.col("entity").asc()
+    )
+    return (
+        linked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def resolve_overlaps(linked: DataFrame) -> DataFrame:
+    """Keep maximal spans: a mention contained in an earlier-starting,
+    longer mention is dropped (greedy by start asc, length desc — running
+    max of span end over preceding rows).  Matches the 'longest surface
+    form wins' behavior of Spotlight annotations the reference consumes."""
+    w = (
+        Window.partitionBy("url", "sent_id")
+        .orderBy(F.col("start").asc(), F.col("length").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("start") + F.col("length")
+    return (
+        linked.withColumn("__prev_end", F.max(F.col("start") + F.col("length")).over(w))
+        .filter(F.col("__prev_end").isNull() | (end > F.col("__prev_end")))
+        .drop("__prev_end")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH blocked fuzzy linking (stage-1 candidate generation when exact
+# surface match is not enough; SURVEY.md §4.2(2))
+# ---------------------------------------------------------------------------
+def lsh_blocked_candidates(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    shingle_size: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard_sim: float = 0.5,
+) -> DataFrame:
+    """Fuzzy mention->alias candidates via MinHash-LSH banding.
+
+    Both sides: character-shingle -> minhash signature -> band keys ->
+    explode -> equi-join on (band, key).  This is pure blocking (shuffle
+    join on short keys, no pairwise scan); candidates are then verified
+    with Jaro-Winkler >= ``min_jaccard_sim``.  Hand-rolled (SURVEY.md
+    §4.2(2)) — deterministic md5 hash family, no MLlib vector overhead.
+    """
+    rows = num_hashes // bands
+
+    def with_blocks(df: DataFrame, col: str) -> DataFrame:
+        sig = minhash_signature(char_shingles(F.col(col), shingle_size), num_hashes)
+        return df.withColumn("__block", F.explode(lsh_bands(sig, bands, rows))).withColumn(
+            "__bkey", F.concat_ws(":", F.col("__block.band"), F.col("__block.key"))
+        ).drop("__block")
+
+    m = with_blocks(mentions, "surface")
+    a = with_blocks(
+        aliases.select(F.col("alias"), "entity", "prior"), "alias"
+    )
+    cand = (
+        m.join(a, "__bkey", "inner")
+        .drop("__bkey")
+        .dropDuplicates(["url", "sent_id", "start", "length", "entity"])
+        .withColumn("sim", jaro_winkler_udf(F.col("surface"), F.col("alias")))
+        .filter(F.col("sim") >= min_jaccard_sim)
+        .withColumn("prior", F.col("prior") * F.col("sim"))
+        .drop("alias", "sim")
+    )
+    return cand

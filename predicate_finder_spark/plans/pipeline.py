@@ -1,0 +1,140 @@
+"""The flagship plan: pages -> triples -> graph.
+
+Spark translation of the reference's baseline pipeline
+(baseline/baseline.py:171-177; lifecycle in SURVEY.md §3.1): the two
+network boundaries (Falcon REST entity linking, dbpedia.org SPARQL
+predicate lookup) become the two shuffle boundaries (alias join J1,
+kg_triples join J2); everything else is narrow and Arrow-pipelined.
+
+Physical shape at scale (what .explain should show):
+  scan pages [lang filter + column pruning pushed to parquet]
+  -> pandas UDF extract (narrow)
+  -> explode sentences/mentions (narrow)
+  -> BroadcastHashJoin aliases (or salted SMJ when dictionary is huge)
+  -> windows over (url, sent_id) [one shuffle on url-ish keys]
+  -> join kg_triples on (s, o) [salted against head-entity skew + AQE]
+  -> pandas UDF scorer (narrow)
+  -> row_number top-1 window (reuses the (url, sent_id) clustering)
+  -> triples sink
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.config import PipelineConfig
+from predicate_finder_spark.operators.extract import extract_pages
+from predicate_finder_spark.operators.linking import (
+    disambiguate,
+    link_mentions,
+    lsh_blocked_candidates,
+    resolve_overlaps,
+)
+from predicate_finder_spark.operators.mentions import explode_sentences, generate_mentions
+from predicate_finder_spark.operators.predicates import (
+    candidate_predicates,
+    enrich_ontology,
+    pair_mentions,
+    predicate_words,
+)
+from predicate_finder_spark.operators.scoring import (
+    build_idf,
+    collect_embeddings,
+    collect_idf,
+    make_scorer_udf,
+    score_candidates,
+    to_triples,
+    top1_per_pair,
+)
+from predicate_finder_spark.sources.tables import checkpoint_stage
+
+
+def extract_triples(
+    spark: SparkSession,
+    pages: DataFrame,
+    aliases: DataFrame,
+    kg_triples: DataFrame,
+    ontology: DataFrame,
+    embeddings: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Full extraction plan; returns the triples DataFrame (lazy unless
+    cfg.checkpoint_dir is set, in which case each major stage commits a
+    manifest and reruns resume from the last complete stage)."""
+    cfg = cfg or PipelineConfig()
+    ch = cfg.config_hash()
+    cp = cfg.checkpoint_dir
+
+    def stage(name: str, fn, inputs: list[str] | None = None) -> DataFrame:
+        path = os.path.join(cp, name) if cp else None
+        return checkpoint_stage(spark, fn, path, name, ch, resume=cfg.resume, inputs=inputs)
+
+    extracted = stage("extracted_pages", lambda: extract_pages(pages), ["pages"])
+    sent_df = stage(
+        "sentences", lambda: explode_sentences(extracted, cfg.languages), ["extracted_pages"]
+    )
+
+    def _linked() -> DataFrame:
+        mentions = generate_mentions(sent_df, cfg.max_mention_ngram)
+        if cfg.use_lsh_blocking:
+            linked = lsh_blocked_candidates(
+                mentions, aliases,
+                shingle_size=cfg.lsh_shingle_size,
+                num_hashes=cfg.lsh_num_hashes,
+                bands=cfg.lsh_bands,
+            )
+        else:
+            linked = link_mentions(mentions, aliases, min_prior=0.0, broadcast_dict=True)
+        return resolve_overlaps(disambiguate(linked))
+
+    resolved = stage("linked_mentions", _linked, ["sentences"])
+
+    def _candidates() -> DataFrame:
+        pairs = pair_mentions(resolved, sent_df)
+        cands = candidate_predicates(
+            pairs, kg_triples,
+            blacklist=cfg.predicate_blacklist,
+            salt_buckets=cfg.salt_buckets if cfg.salted_join else 0,
+        )
+        return predicate_words(enrich_ontology(cands, ontology))
+
+    cands = stage("candidates", _candidates, ["linked_mentions", "sentences"])
+
+    def _triples() -> DataFrame:
+        idf = build_idf(sent_df)
+        scorer = make_scorer_udf(
+            spark,
+            collect_embeddings(embeddings),
+            collect_idf(idf),
+            max_ngram=cfg.max_ngram,
+            default_idf=cfg.default_idf,
+        )
+        scored = score_candidates(cands, scorer)
+        return to_triples(top1_per_pair(scored))
+
+    return stage("triples", _triples, ["candidates"])
+
+
+def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Graph output: vertices(id, label, type) + edges(src, dst, pred,
+    weight) — weight = supporting-page count, one groupBy shuffle each."""
+    vertices = (
+        triples.select(F.col("subj").alias("id"))
+        .unionByName(triples.select(F.col("obj").alias("id")))
+        .distinct()
+        .select(
+            "id",
+            F.regexp_replace("id", "_", " ").alias("label"),
+            F.lit("entity").alias("type"),
+        )
+    )
+    edges = (
+        triples.groupBy(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"), "pred"
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return vertices, edges
