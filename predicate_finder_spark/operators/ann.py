@@ -1,0 +1,111 @@
+"""Similarity search over an embedding column.
+
+- ``brute_force_topk``: exact cosine top-k via crossJoin + window — the
+  correctness baseline (O(n*q), fine when the query set is small and
+  broadcast).
+- ``ivf_topk``: IVF-style approximate top-k — k-means-lite centroids
+  (deterministic seeded sample), assign every vector to its nearest
+  centroid (one broadcast join + argmin), probe only ``n_probe`` nearest
+  cells per query.  The scale path: each query touches n_probe/n_cells of
+  the corpus, and the heavy join is an equi-join on cell id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.functions.similarity import cosine_expr
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query set against
+    the corpus, window top-k.  Output: (query_id, vec_id, cosine, rank)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = vectors.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q)).withColumn(
+        "cosine", cosine_expr(F.col(vec_col), F.col("__qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def build_ivf_cells(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """One-pass IVF index: centroids = deterministic sample (every vector
+    whose id hashes into the first n_cells slots of a wide range), then
+    assign each vector to its nearest centroid.
+
+    Returns (centroids(cell_id, centroid), assigned(…, cell_id)).  At 100 TB
+    the assignment is one broadcast join + argmin over n_cells — a narrow
+    stage; a real deployment would Lloyd-iterate a few times, same shape.
+    """
+    w = Window.orderBy(F.col(id_col).asc())
+    centroids = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_cells)
+        .select((F.col("__r") - 1).alias("cell_id"), F.col(vec_col).alias("centroid"))
+    )
+    cents = centroids.collect()
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in r["centroid"]]) for r in cents])
+    n = len(cents)
+    sims = F.transform(cent_arr, lambda c: cosine_expr(F.col(vec_col), c))
+    best = F.expr(
+        "array_position(transform(sequence(1, {n}), i -> element_at(__sims, i)), array_max(__sims)) - 1".format(n=n)
+    )
+    assigned = (
+        vectors.withColumn("__sims", sims)
+        .withColumn("cell_id", best.cast("int"))
+        .drop("__sims")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: per query, rank cells by centroid cosine, probe
+    the best ``n_probe`` cells via equi-join on cell_id, then exact cosine
+    + window top-k within the probed subset."""
+    qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "__csim", cosine_expr(F.col(vec_col), F.col("centroid"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("__csim").desc(), F.col("cell_id").asc())
+    probe = (
+        qc.withColumn("__rc", F.row_number().over(wq))
+        .filter(F.col("__rc") <= n_probe)
+        .select(F.col(query_id_col), F.col(vec_col).alias("__qv"), "cell_id")
+    )
+    scored = assigned.join(probe, "cell_id").withColumn(
+        "cosine", cosine_expr(F.col(vec_col), F.col("__qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

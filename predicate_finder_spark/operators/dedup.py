@@ -1,0 +1,205 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families, all shuffle-shaped for 100 TB (no pairwise O(n^2) scans —
+candidate pairs always come from an equi-join on a blocking key):
+
+- exact:        groupBy(normalized text hash) -> keep min doc id
+- MinHash-LSH:  shingle -> minhash -> band -> bucket equi-join -> verify
+- SimHash:      64-bit signature -> band equi-join on 16-bit chunks -> hamming
+- n-gram Jaccard: shared-shingle inverted-index join -> exact Jaccard
+- embedding cosine: LSH-bucketed (random hyperplane) or brute top-k via ANN
+
+Hashes are md5-based (functions/hashing.py) so the DuckDB oracle can
+reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.functions.hashing import (
+    hamming64,
+    lsh_bands,
+    minhash_signature,
+    simhash64,
+    word_shingles,
+)
+from predicate_finder_spark.functions.text import tokenize
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document per exact (md5 of) text.
+
+    Hash-groupBy on md5(text) — at scale this shuffles 16-byte keys, not
+    documents; Spark's partial aggregation dedups map-side first.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _pair_frame(docs: DataFrame, id_col: str, keyed: DataFrame) -> DataFrame:
+    """Join a (id, block_key) frame with itself on block_key, id_a < id_b."""
+    a = keyed.select(F.col(id_col).alias("id_a"), "block_key")
+    b = keyed.select(F.col(id_col).alias("id_b"), "block_key")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard near-dup pairs via inverted-index join.
+
+    shingle explode -> self-join on shingle (the inverted index) ->
+    per-pair intersection count -> |A∪B| = |A|+|B|-|A∩B|.  Only documents
+    sharing >=1 shingle ever meet, so the join is the blocking step.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, optionally verified with exact Jaccard.
+
+    signature -> band keys -> explode -> self-join on band key (blocking,
+    no pairwise scan).  With b bands of r rows, P(candidate) =
+    1-(1-s^r)^b — the standard S-curve.  ``verify_threshold`` None returns
+    raw candidates (recall-oriented); otherwise exact Jaccard prunes them.
+    """
+    rows = num_hashes // bands
+    shing = word_shingles(tokenize(F.col(text_col)), shingle_k)
+    sig = minhash_signature(shing, num_hashes)
+    keyed = docs.select(
+        F.col(id_col), F.explode(lsh_bands(sig, bands, rows)).alias("bk")
+    ).select(
+        F.col(id_col), F.concat_ws(":", F.col("bk.band"), F.col("bk.key")).alias("block_key")
+    )
+    pairs = _pair_frame(docs, id_col, keyed)
+    if verify_threshold is None:
+        return pairs
+    exact = ngram_jaccard_pairs(docs, id_col, text_col, shingle_k, verify_threshold)
+    return pairs.join(exact, ["id_a", "id_b"], "inner")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit signature, blocked on 4 15-bit chunks
+    (pigeonhole: any pair within hamming distance 3 shares a chunk; larger
+    ``max_hamming`` trades recall), verified by exact hamming distance."""
+    sigs = docs.select(F.col(id_col), simhash64(tokenize(F.col(text_col))).alias("sig"))
+    chunks = sigs.select(
+        F.col(id_col), "sig",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"c{i}:"), F.shiftright(F.col("sig"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1)).cast("string"))
+                for i in range(4)
+            ])
+        ).alias("block_key"),
+    )
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "block_key")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "block_key")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("block_key")
+        .distinct()
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH blocking.
+
+    Sign-pattern of dot products with ``n_planes`` md5-derived pseudo-random
+    hyperplanes forms the block key; exact cosine verifies.  Collision
+    probability for angle θ is (1-θ/π)^n_planes.
+    """
+    from predicate_finder_spark.functions.similarity import cosine_expr
+
+    dim_probe = vectors.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    # deterministic pseudo-random hyperplanes from md5(plane, dim)
+    planes = [
+        F.array(*[
+            (F.conv(F.substring(F.md5(F.lit(f"plane{p}dim{d}")), 1, 8), 16, 10).cast("double")
+             / F.lit(float(1 << 32)) - 0.5)
+            for d in range(dim_probe)
+        ])
+        for p in range(n_planes)
+    ]
+    key = F.concat_ws(
+        "",
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(F.col(vec_col), pl, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0), lambda acc, v: acc + v,
+                ) >= 0, F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for pl in planes
+        ],
+    )
+    keyed = vectors.select(F.col(id_col), F.col(vec_col), key.alias("block_key"))
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "block_key")
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "block_key")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

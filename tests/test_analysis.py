@@ -1,0 +1,55 @@
+"""Text analysis: lang-id, quality, token counting, similarity kernels."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.functions import analysis as A
+from predicate_finder_spark.functions.similarity import (
+    cosine_expr,
+    jaro_winkler,
+    jaro_winkler_udf,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_lang_id(spark):
+    assert _one(spark, A.lang_id(F.lit("the cat is in the house and it was fun"))) == "en"
+    assert _one(spark, A.lang_id(F.lit("der hund ist nicht in das haus und zu"))) == "de"
+    assert _one(spark, A.lang_id(F.lit("zzz qqq 12345"))) == "und"
+
+
+def test_token_counts(spark):
+    assert _one(spark, A.token_count(F.lit("a b, c"))) == 4
+    # bpe-ish: 'internationalization' (20 chars) -> 5 pieces
+    assert _one(spark, A.word_token_count_bpe_ish(F.lit("internationalization"))) == 5
+
+
+def test_quality_score_ordering(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs into the field"
+    bad = "x"
+    qg = _one(spark, A.quality_score(F.lit(good)))
+    qb = _one(spark, A.quality_score(F.lit(bad)))
+    assert 0.0 <= qb < qg <= 1.0
+
+
+def test_cosine_expr(spark):
+    a = F.array(F.lit(1.0), F.lit(0.0))
+    b = F.array(F.lit(0.0), F.lit(1.0))
+    assert abs(_one(spark, cosine_expr(a, a)) - 1.0) < 1e-6
+    assert abs(_one(spark, cosine_expr(a, b))) < 1e-6
+
+
+def test_jaro_winkler_pure():
+    assert jaro_winkler("martha", "martha") == 1.0
+    assert 0.9 < jaro_winkler("martha", "marhta") < 1.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+
+
+def test_jaro_winkler_udf(spark):
+    df = spark.createDataFrame([("dwayne", "duane")], "a string, b string")
+    got = df.select(jaro_winkler_udf(F.col("a"), F.col("b")).alias("s")).first()["s"]
+    assert 0.8 < got < 1.0

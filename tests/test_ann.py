@@ -1,0 +1,49 @@
+"""ANN: brute-force exact top-k + IVF approximate recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.operators.ann import brute_force_topk, build_ivf_cells, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(vectors):
+    return (
+        vectors.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .cache()
+    )
+
+
+def test_brute_force_self_is_top1(vectors, queries):
+    top = brute_force_topk(vectors, queries, k=5)
+    first = {r["query_id"]: r["vec_id"] for r in top.filter(F.col("rank") == 1).collect()}
+    assert first == {0: 0, 1: 1, 2: 2}  # each query's nearest neighbor is itself
+    assert top.count() == 15
+
+
+def test_ivf_recall_vs_brute_force(vectors, queries):
+    exact = brute_force_topk(vectors, queries, k=10)
+    centroids, assigned = build_ivf_cells(vectors, n_cells=8)
+    approx = ivf_topk(assigned, centroids, queries, k=10, n_probe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # probing half the cells
+
+
+def test_ivf_probes_fewer_rows(vectors, queries, spark):
+    centroids, assigned = build_ivf_cells(vectors, n_cells=8)
+    n_cells_assigned = assigned.select("cell_id").distinct().count()
+    assert n_cells_assigned == 8

@@ -1,0 +1,75 @@
+"""Entity linking: mention spans, disambiguation, overlap resolution, LSH."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.operators.linking import (
+    disambiguate,
+    link_mentions,
+    lsh_blocked_candidates,
+    resolve_overlaps,
+)
+from predicate_finder_spark.operators.mentions import explode_sentences, generate_mentions
+
+
+def _sentences(spark, text):
+    pages = spark.createDataFrame(
+        [("u1", text, "en")], "url string, text string, lang string"
+    )
+    return explode_sentences(pages)
+
+
+def test_mention_spans(spark):
+    sent = _sentences(spark, "Alba Arnheim has birth place Mona Bexley.")
+    m = generate_mentions(sent, 3)
+    rows = {(r["start"], r["length"], r["surface"]) for r in m.collect()}
+    assert (0, 2, "alba arnheim") in rows
+    assert (5, 2, "mona bexley") in rows
+    assert (0, 1, "alba") in rows
+    assert (2, 3, "has birth place") in rows
+    # all spans in bounds
+    for s, ln, _ in rows:
+        assert 0 <= s and s + ln <= 8
+
+
+def test_disambiguation_picks_highest_prior(spark):
+    m = spark.createDataFrame(
+        [("u", 0, 0, 1, "alba")], "url string, sent_id int, start int, length int, surface string"
+    )
+    aliases = spark.createDataFrame(
+        [("alba", "Alba_A", 0.3), ("alba", "Alba_B", 0.7)],
+        "alias string, entity string, prior double",
+    )
+    got = disambiguate(link_mentions(m, aliases)).collect()
+    assert len(got) == 1 and got[0]["entity"] == "Alba_B"
+
+
+def test_overlap_resolution_keeps_maximal_span(spark):
+    rows = [
+        ("u", 0, 0, 2, "alba arnheim", "Alba_Arnheim", 0.95),
+        ("u", 0, 0, 1, "alba", "Alba_X", 0.5),
+        ("u", 0, 5, 2, "mona bexley", "Mona_Bexley", 0.95),
+        ("u", 0, 5, 1, "mona", "Mona_X", 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, sent_id int, start int, length int, surface string, entity string, prior double",
+    )
+    kept = {(r["start"], r["length"]) for r in resolve_overlaps(df).collect()}
+    assert kept == {(0, 2), (5, 2)}
+
+
+def test_lsh_blocked_fuzzy_linking(spark):
+    # typo'd surface still finds its alias through minhash banding + JW verify
+    m = spark.createDataFrame(
+        [("u", 0, 0, 2, "alba arnheimm")],
+        "url string, sent_id int, start int, length int, surface string",
+    )
+    aliases = spark.createDataFrame(
+        [("alba arnheim", "Alba_Arnheim", 0.9), ("rosa jutland", "Rosa_Jutland", 0.9)],
+        "alias string, entity string, prior double",
+    )
+    got = lsh_blocked_candidates(m, aliases, shingle_size=3, num_hashes=16, bands=8).collect()
+    ents = {r["entity"] for r in got}
+    assert "Alba_Arnheim" in ents and "Rosa_Jutland" not in ents

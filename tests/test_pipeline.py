@@ -1,0 +1,48 @@
+"""Golden end-to-end: P/R >= 0.95, resume idempotency, graph materialize."""
+
+from __future__ import annotations
+
+import os
+
+from predicate_finder_spark.config import PipelineConfig
+from predicate_finder_spark.operators.evaluate import per_predicate_accuracy, precision_recall
+from predicate_finder_spark.plans.pipeline import extract_triples, materialize_graph
+
+
+def _run(spark, corpus, cfg=None):
+    return extract_triples(
+        spark, corpus["pages"], corpus["aliases"], corpus["kg_triples"],
+        corpus["ontology"], corpus["embeddings"], cfg,
+    )
+
+
+def test_end_to_end_precision_recall(spark, corpus):
+    triples = _run(spark, corpus).cache()
+    pr = precision_recall(triples, corpus["gold_triples"])
+    assert pr["precision"] >= 0.95, pr
+    assert pr["recall"] >= 0.95, pr
+
+
+def test_per_predicate_recall(spark, corpus):
+    triples = _run(spark, corpus)
+    rows = per_predicate_accuracy(triples, corpus["gold_triples"]).collect()
+    assert len(rows) >= 5
+    assert all(r["recall"] >= 0.8 for r in rows), rows
+
+
+def test_graph_materialize(spark, corpus):
+    triples = _run(spark, corpus)
+    v, e = materialize_graph(triples)
+    assert v.count() > 0 and e.count() > 0
+    assert set(v.columns) == {"id", "label", "type"}
+    assert set(e.columns) == {"src", "dst", "pred", "weight"}
+
+
+def test_checkpoint_resume_idempotent(spark, corpus, tmp_path):
+    cp = str(tmp_path / "cp")
+    cfg = PipelineConfig(checkpoint_dir=cp)
+    t1 = sorted(map(tuple, _run(spark, corpus, cfg).select("url", "subj", "pred", "obj").collect()))
+    assert os.path.exists(os.path.join(cp, "triples", "_manifest.json"))
+    # rerun resumes from completed stages and yields the identical table
+    t2 = sorted(map(tuple, _run(spark, corpus, cfg).select("url", "subj", "pred", "obj").collect()))
+    assert t1 == t2

@@ -1,0 +1,106 @@
+"""IDF (A1), scorer (C6 x A1), top-1 window (W1), blacklist (F2), guards."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.operators.predicates import (
+    candidate_predicates,
+    enrich_ontology,
+)
+from predicate_finder_spark.operators.scoring import (
+    build_idf,
+    make_scorer_udf,
+    top1_per_pair,
+)
+
+
+def test_idf_log2(spark):
+    # idf = log2(N/df), reference baseline/baseline.py:86-87
+    sent = spark.createDataFrame(
+        [("u1", 0, "x", ["apple", "pie"]), ("u2", 0, "y", ["apple"])],
+        "url string, sent_id int, sentence string, tokens array<string>",
+    )
+    idf = {r["word"]: r["idf"] for r in build_idf(sent).collect()}
+    assert abs(idf["apple"] - math.log2(2 / 2)) < 1e-9
+    assert abs(idf["pie"] - math.log2(2 / 1)) < 1e-9
+
+
+def test_scorer_exact_ngram_wins(spark):
+    emb = {
+        "birth": np.array([1.0, 0.0, 0.0]),
+        "place": np.array([0.0, 1.0, 0.0]),
+        "death": np.array([0.0, 0.0, 1.0]),
+    }
+    idf = {"birth": 2.0, "place": 1.0, "death": 2.0}
+    udf = make_scorer_udf(spark, emb, idf, max_ngram=2)
+    df = spark.createDataFrame(
+        [(["has", "birth", "place"], ["birth", "place"]),
+         (["has", "birth", "place"], ["death", "place"])],
+        "rel_tokens array<string>, pred_tokens array<string>",
+    ).withColumn("score", udf(F.col("rel_tokens"), F.col("pred_tokens")))
+    s_birth, s_death = [r["score"] for r in df.collect()]
+    assert abs(s_birth - 2.0) < 1e-6  # cosine 1.0 * max idf 2.0
+    assert s_death < s_birth
+
+
+def test_scorer_oov_default_idf(spark):
+    emb = {"a": np.array([1.0, 0.0])}
+    udf = make_scorer_udf(spark, emb, {}, max_ngram=1, default_idf=2.0)
+    df = spark.createDataFrame(
+        [(["a"], ["a"])], "rel_tokens array<string>, pred_tokens array<string>"
+    ).withColumn("score", udf(F.col("rel_tokens"), F.col("pred_tokens")))
+    # cosine 1.0 * default 2.0 (reference baseline.py:133-138)
+    assert abs(df.first()["score"] - 2.0) < 1e-6
+
+
+def test_top1_deterministic_tiebreak(spark):
+    rows = [
+        ("u", 0, "A", "B", "zeta", 1.0),
+        ("u", 0, "A", "B", "alpha", 1.0),
+        ("u", 0, "B", "A", "beta", 1.0),  # same unordered pair, reversed
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, sent_id int, subj string, obj string, pred string, score double"
+    )
+    got = top1_per_pair(df).collect()
+    assert len(got) == 1 and got[0]["pred"] == "alpha"
+
+
+def test_blacklist_filter(spark):
+    pairs = spark.createDataFrame(
+        [("u", 0, "A", "B", 1.0, ["x"])],
+        "url string, sent_id int, e1 string, e2 string, pair_prior double, rel_tokens array<string>",
+    )
+    kg = spark.createDataFrame(
+        [
+            ("A", "http://dbpedia.org/ontology/birthPlace", "B"),
+            ("A", "http://purl.org/dc/terms/subject", "B"),
+            ("A", "http://x/core#broader", "B"),
+            ("A", "http://dbpedia.org/ontology/wikiPageWikiLink", "B"),
+        ],
+        "s string, p string, o string",
+    )
+    got = candidate_predicates(pairs, kg)
+    assert [r["pred"] for r in got.collect()] == ["birthPlace"]
+
+
+def test_ontology_single_row_guard(spark):
+    cands = spark.createDataFrame(
+        [("u", 0, "A", "B", "p://x/unique", "unique", ["t"], 1.0, "forward"),
+         ("u", 0, "A", "B", "p://x/dupe", "dupe", ["t"], 1.0, "forward")],
+        "url string, sent_id int, subj string, obj string, pred_uri string, "
+        "pred string, rel_tokens array<string>, pair_prior double, rule string",
+    )
+    onto = spark.createDataFrame(
+        [("unique", "unique label", "range1"),
+         ("dupe", "l1", "r1"), ("dupe", "l2", "r2")],
+        "predicate string, label string, range_label string",
+    )
+    got = {r["pred"]: r["hier"] for r in enrich_ontology(cands, onto).collect()}
+    assert got["unique"] == ["unique label", "range1"]
+    # >1 ontology rows -> fallback [pred, pred] (DataExtract.py:120-123)
+    assert got["dupe"] == ["dupe", "dupe"]
