@@ -101,9 +101,17 @@ def _camel_words(pred: str) -> list[str]:
     return out
 
 
-def sentence_rows(spark: SparkSession, n_pages: int, n_entities: int = 200) -> DataFrame:
+def sentence_rows(
+    spark: SparkSession,
+    n_pages: int,
+    n_entities: int = 200,
+    ids: DataFrame | None = None,
+) -> DataFrame:
     """One row per (page, sentence): the generative frame everything else
-    derives from.  Pure column expressions over spark.range(n_pages)."""
+    derives from.  Pure column expressions over spark.range(n_pages) — or,
+    when ``ids`` is given (a DataFrame with a ``page_id`` column and any
+    passthrough columns, e.g. the driver's ``documents`` table), over those
+    ids instead, so external corpora can seed deterministic pages."""
     ents = entity_names(n_entities)
     surfaces = [e.replace("_", " ") for e in ents]
     cdf = _zipf_cdf(n_entities)
@@ -114,9 +122,9 @@ def sentence_rows(spark: SparkSession, n_pages: int, n_entities: int = 200) -> D
     pred_words_arr = F.array(*[F.lit(" ".join(_camel_words(p))) for p in PREDICATES])
     lang_arr = F.array(*[F.lit(x) for x in NON_EN_LANGS])
 
+    base = ids if ids is not None else spark.range(n_pages).withColumnRenamed("id", "page_id")
     df = (
-        spark.range(n_pages)
-        .withColumnRenamed("id", "page_id")
+        base
         .withColumn("url", F.format_string("https://example.org/page/%08d", F.col("page_id")))
         .withColumn("lang", F.when(_u(F.col("page_id"), "lang") < 0.9, "en").otherwise(
             _pick(lang_arr, _u(F.col("page_id"), "lang2"), len(NON_EN_LANGS))))
