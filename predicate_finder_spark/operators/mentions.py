@@ -34,39 +34,26 @@ def generate_mentions(sent_df: DataFrame, max_n: int = 3) -> DataFrame:
     explode of the concatenated per-n arrays (single narrow stage, ~max_n x
     token-count rows; the alias join immediately after filters it down).
     """
-    def _gram_struct(n: int):
-        # NB: must be a 1-arg lambda — a second (even defaulted) parameter
-        # makes pyspark pass the array index into it.
-        return lambda t: F.struct(F.lit(n).alias("length"), F.lower(t).alias("surface"))
-
-    per_n = [
-        F.transform(ngram_texts(F.col("tokens"), n), _gram_struct(n))
-        for n in range(1, max_n + 1)
-    ]
-    grams = F.concat(*per_n) if len(per_n) > 1 else per_n[0]
-    # position of an n-gram inside the concat = its index within its n-block
-    out = (
-        sent_df.select(
-            "url", "sent_id", F.size("tokens").alias("n_tok"),
-            F.posexplode(grams).alias("pos", "g"),
-        )
-        .withColumn("length", F.col("g.length"))
-        .withColumn(
-            "start",
-            # block n starts after sum_{m<n} (n_tok - m + 1) entries
-            F.col("pos")
-            - F.when(F.col("length") > 1,
-                     F.aggregate(
-                         F.sequence(F.lit(1), F.col("length") - 1),
-                         F.lit(0),
-                         lambda acc, m: acc + F.greatest(F.col("n_tok") - m + 1, F.lit(0)),
-                     )).otherwise(F.lit(0)),
-        )
-        .select(
-            "url", "sent_id",
-            F.col("start").cast("int").alias("start"),
-            F.col("length").cast("int").alias("length"),
-            F.col("g.surface").alias("surface"),
+    toks = F.col("tokens")
+    # one nested higher-order expression: for each valid n, for each start
+    # offset, emit struct(start, length, surface) — flatten and explode once.
+    # (The start index comes straight from the inner lambda variable; no
+    # per-row positional arithmetic.)
+    grams = F.flatten(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(max_n)), lambda n: n <= F.size(toks)
+            ),
+            lambda n: F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.struct(
+                    i.cast("int").alias("start"),
+                    n.cast("int").alias("length"),
+                    F.lower(F.array_join(F.slice(toks, i + 1, n), " ")).alias("surface"),
+                ),
+            ),
         )
     )
-    return out
+    return sent_df.select(
+        "url", "sent_id", F.explode(grams).alias("g")
+    ).select("url", "sent_id", "g.start", "g.length", "g.surface")

@@ -99,7 +99,27 @@ def make_scorer_udf(
 
 
 def score_candidates(candidates: DataFrame, score_udf) -> DataFrame:
-    return candidates.withColumn("score", score_udf(F.col("rel_tokens"), F.col("pred_tokens")))
+    """Embedding score (pandas UDF) x direction-agreement boost (pure column
+    expression).
+
+    The direction signal is the Spark analog of the reference's syntax-path
+    channel (pretreatment/syntactic_tree.py:24-80 encodes the dependency
+    direction between entity and wh-word; the MGNN consumes it as its 2nd
+    input): a relation surface shaped "is ... of" asserts the *reverse*
+    direction ("O is the birth place of S" => (S, birthPlace, O)), while a
+    plain verb phrase asserts forward.  A candidate whose join direction
+    (``rule``) agrees with the surface pattern gets a 1.1x boost — this
+    breaks the exact score tie when the KG holds the same predicate in both
+    directions for an entity pair.
+    """
+    base = score_udf(F.col("rel_tokens"), F.col("pred_tokens"))
+    first = F.lower(F.element_at(F.col("rel_tokens"), 1))
+    last = F.lower(F.element_at(F.col("rel_tokens"), -1))
+    surface_reversed = first.isin("is", "was", "are", "were") & (last == F.lit("of"))
+    agrees = surface_reversed == (F.col("rule") == F.lit("reverse"))
+    return candidates.withColumn(
+        "score", base * F.when(agrees, F.lit(1.1)).otherwise(F.lit(1.0))
+    )
 
 
 def top1_per_pair(scored: DataFrame) -> DataFrame:

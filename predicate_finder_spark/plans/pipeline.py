@@ -70,7 +70,13 @@ def extract_triples(
 
     def stage(name: str, fn, inputs: list[str] | None = None) -> DataFrame:
         path = os.path.join(cp, name) if cp else None
-        return checkpoint_stage(spark, fn, path, name, ch, resume=cfg.resume, inputs=inputs)
+        out = checkpoint_stage(spark, fn, path, name, ch, resume=cfg.resume, inputs=inputs)
+        if cp is None and name in ("sentences", "linked_mentions", "candidates"):
+            # no checkpoint tables to re-read from: persist the stages that
+            # are consumed by more than one downstream branch, else the
+            # pandas-UDF extraction would re-execute once per consumer
+            out = out.persist()
+        return out
 
     extracted = stage("extracted_pages", lambda: extract_pages(pages), ["pages"])
     sent_df = stage(

@@ -47,7 +47,9 @@ def get_spark(
         # Deterministic timestamps; DuckDB compares in UTC-naive.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = driver-only: give the single JVM most of the box
+        # (cluster deployments size executors instead)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
