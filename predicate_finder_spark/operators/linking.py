@@ -61,6 +61,41 @@ def disambiguate(linked: DataFrame) -> DataFrame:
     )
 
 
+def resolve_mentions(linked: DataFrame) -> DataFrame:
+    """Fused disambiguation + containment resolution in ONE shuffle.
+
+    Both steps need rows clustered by (url, sent_id); partitioning the
+    window by exactly that and ordering by (start asc, length desc, prior
+    desc, entity asc) lets us (a) keep the first row of each contiguous
+    (start, length) run — the highest-prior entity per span — and (b) drop
+    spans contained in an earlier-starting longer span via a running max of
+    span end.  The second window reuses the first's partitioning AND sort
+    order, so the physical plan has a single Exchange (disambiguate +
+    resolve_overlaps as separate ops cost two).
+    """
+    w = Window.partitionBy("url", "sent_id").orderBy(
+        F.col("start").asc(), F.col("length").desc(),
+        F.col("prior").desc(), F.col("entity").asc(),
+    )
+    first_of_span = (
+        F.lag("start").over(w).isNull()
+        | (F.lag("start").over(w) != F.col("start"))
+        | (F.lag("length").over(w) != F.col("length"))
+    )
+    deduped = (
+        linked.withColumn("__keep", first_of_span)
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )
+    w2 = w.rowsBetween(Window.unboundedPreceding, -1)
+    end = F.col("start") + F.col("length")
+    return (
+        deduped.withColumn("__prev_end", F.max(F.col("start") + F.col("length")).over(w2))
+        .filter(F.col("__prev_end").isNull() | (end > F.col("__prev_end")))
+        .drop("__prev_end")
+    )
+
+
 def resolve_overlaps(linked: DataFrame) -> DataFrame:
     """Keep maximal spans: a mention contained in an earlier-starting,
     longer mention is dropped (greedy by start asc, length desc — running

@@ -92,11 +92,11 @@ def candidate_predicates(
 
     fwd = _join(pairs, "e1", "e2", "forward")
     rev = _join(pairs, "e2", "e1", "reverse")
-    return (
-        fwd.unionByName(rev)
-        .withColumn("pred", uri_localname("pred_uri"))
-        .dropDuplicates(["url", "sent_id", "subj", "obj", "pred_uri", "rule"])
-    )
+    # no dropDuplicates here: duplicate candidates (the same pair mentioned
+    # at two positions in a sentence) are legitimate evidence rows, and the
+    # top-1 window downstream picks exactly one row per pair anyway — a
+    # dedup would cost a full extra shuffle for zero output change
+    return fwd.unionByName(rev).withColumn("pred", uri_localname("pred_uri"))
 
 
 def enrich_ontology(candidates: DataFrame, ontology: DataFrame) -> DataFrame:

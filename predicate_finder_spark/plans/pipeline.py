@@ -28,10 +28,9 @@ from pyspark.sql import functions as F
 from predicate_finder_spark.config import PipelineConfig
 from predicate_finder_spark.operators.extract import extract_pages
 from predicate_finder_spark.operators.linking import (
-    disambiguate,
     link_mentions,
     lsh_blocked_candidates,
-    resolve_overlaps,
+    resolve_mentions,
 )
 from predicate_finder_spark.operators.mentions import explode_sentences, generate_mentions
 from predicate_finder_spark.operators.predicates import (
@@ -94,7 +93,7 @@ def extract_triples(
             )
         else:
             linked = link_mentions(mentions, aliases, min_prior=0.0, broadcast_dict=True)
-        return resolve_overlaps(disambiguate(linked))
+        return resolve_mentions(linked)
 
     resolved = stage("linked_mentions", _linked, ["sentences"])
 

@@ -8,6 +8,7 @@ from predicate_finder_spark.operators.linking import (
     disambiguate,
     link_mentions,
     lsh_blocked_candidates,
+    resolve_mentions,
     resolve_overlaps,
 )
 from predicate_finder_spark.operators.mentions import explode_sentences, generate_mentions
@@ -58,6 +59,28 @@ def test_overlap_resolution_keeps_maximal_span(spark):
     )
     kept = {(r["start"], r["length"]) for r in resolve_overlaps(df).collect()}
     assert kept == {(0, 2), (5, 2)}
+
+
+def test_resolve_mentions_fused_equals_two_step(spark):
+    rows = [
+        ("u", 0, 0, 2, "alba arnheim", "Alba_Arnheim", 0.95),
+        ("u", 0, 0, 2, "alba arnheim", "Alba_Other", 0.40),   # same-span loser
+        ("u", 0, 0, 1, "alba", "Alba_X", 0.5),                 # contained
+        ("u", 0, 5, 2, "mona bexley", "Mona_Bexley", 0.95),
+        ("u", 0, 5, 1, "mona", "Mona_X", 0.5),                 # contained
+        ("u", 1, 3, 1, "solo", "Solo_E", 0.9),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, sent_id int, start int, length int, surface string, entity string, prior double",
+    )
+    fused = {(r["sent_id"], r["start"], r["length"], r["entity"])
+             for r in resolve_mentions(df).collect()}
+    two_step = {(r["sent_id"], r["start"], r["length"], r["entity"])
+                for r in resolve_overlaps(disambiguate(df)).collect()}
+    assert fused == two_step == {
+        (0, 0, 2, "Alba_Arnheim"), (0, 5, 2, "Mona_Bexley"), (1, 3, 1, "Solo_E"),
+    }
 
 
 def test_lsh_blocked_fuzzy_linking(spark):
