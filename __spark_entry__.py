@@ -448,6 +448,52 @@ def q39_bpe_count(spark, sf):
     )
 
 
+def q41_token_overlap(spark, sf):
+    from predicate_finder_spark.functions.text import token_overlap_ratio
+
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.round(token_overlap_ratio(toks, stop_arr), 6).alias("overlap")
+    )
+
+
+def q42_jaccard_pairs(spark, sf):
+    from predicate_finder_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=1e-9)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q43_simhash(spark, sf):
+    """SimHash signatures (rows-only: Spark-side exact bit arithmetic has no
+    concise DuckDB twin; behavior is pinned by tests/test_hashing.py)."""
+    from predicate_finder_spark.functions.hashing import simhash64
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", simhash64(_tokens(F.col("text"))).alias("sig")
+    )
+
+
+def q44_syntax_path(spark, sf):
+    """Dependency shortest-path feature (rows-only: pandas-UDF parser)."""
+    from predicate_finder_spark.operators.syntax import make_syntax_path_udf
+
+    udf = make_syntax_path_udf()
+    toks = _tokens(F.col("text"))
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "|", udf(F.slice(toks, 1, 8), F.lit(0), F.least(F.size(toks), F.lit(8)) - 1)
+            ).alias("path"),
+        )
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -503,6 +549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_langid_hits": q38_langid_hits,
         "q39_bpe_count": q39_bpe_count,
         "q40_kg_pipeline": q40_kg_pipeline,
+        "q41_token_overlap": q41_token_overlap,
+        "q42_jaccard_pairs": q42_jaccard_pairs,
+        "q43_simhash": q43_simhash,
+        "q44_syntax_path": q44_syntax_path,
     }
 
 
@@ -743,5 +793,39 @@ def oracle_sql() -> dict[str, str]:
                  x -> greatest(1, cast(ceil(len(x) / 4.0) AS BIGINT))))::BIGINT AS n_bpe
         FROM documents
     """
-    # q40_kg_pipeline: pandas-UDF-scored pipeline — intentionally no oracle
+    sqls["q41_token_overlap"] = f"""
+        SELECT doc_id,
+               round(len(list_intersect(list_distinct({_TOK}), {list(STOPWORDS)}))
+                     / len(list_distinct({_TOK})), 6) AS overlap
+        FROM documents
+    """
+    sqls["q42_jaccard_pairs"] = f"""
+        WITH tok AS (
+          SELECT doc_id, {_TOK} AS ts FROM documents WHERE doc_id < 200
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ts) >= 3
+                      THEN list_distinct(list_transform(range(0, len(ts) - 2),
+                           i -> ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3]))
+                      ELSE [array_to_string(ts, ' ')] END AS shingles
+          FROM tok
+        ), e AS (
+          SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(n_inter / (na.n + nb.n - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE n_inter / (na.n + nb.n - n_inter) >= 1e-9
+    """
+    # q40_kg_pipeline, q43_simhash, q44_syntax_path: pandas-UDF / bit-level
+    # kernels — intentionally no oracle (driver records rows-only; semantics
+    # pinned by unit tests instead)
     return sqls

@@ -97,7 +97,8 @@ def wh_word(tokens: Column) -> Column:
     wh-word in the token list, falling back to the first token."""
     lowered = F.transform(tokens, F.lower)
     whs = F.filter(lowered, lambda t: t.isin(*WH_WORDS))
-    return F.coalesce(F.element_at(whs, -1), F.element_at(lowered, 1))
+    # try_element_at: ANSI-safe on empty arrays (element_at throws)
+    return F.coalesce(F.try_element_at(whs, F.lit(-1)), F.try_element_at(lowered, F.lit(1)))
 
 
 def token_overlap_ratio(a: Column, b: Column) -> Column:
