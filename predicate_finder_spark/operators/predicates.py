@@ -76,27 +76,40 @@ def candidate_predicates(
     pattern = "|".join(_re.escape(b) for b in blacklist)
     kg = kg_triples.filter(~F.col("p").rlike(pattern)).select("s", "p", "o").distinct()
 
-    def _join(df: DataFrame, left_s: str, left_o: str, rule: str) -> DataFrame:
-        cond_cols = [F.col(left_s).alias("s"), F.col(left_o).alias("o")]
-        probe = df.select("url", "sent_id", "rel_tokens", "pair_prior", *cond_cols)
-        if salt_buckets > 1:
-            j = salted_join(probe, kg, ["s", "o"], buckets=salt_buckets, salt_source="url")
-        else:
-            j = probe.join(kg, ["s", "o"], "inner")
-        return j.select(
-            "url", "sent_id",
-            F.col("s").alias("subj"), F.col("o").alias("obj"),
-            F.col("p").alias("pred_uri"), "rel_tokens", "pair_prior",
-            F.lit(rule).alias("rule"),
-        )
+    # Explode each pair into both orientations BEFORE the join: one probe
+    # frame, ONE kg join — a union of two per-direction joins would duplicate
+    # the whole upstream pairs subtree in the physical plan and scan kg twice
+    # (verified via explain; SURVEY.md J2 needs both directions, reference
+    # DataExtract.py:25-41).
+    both = pairs.select(
+        "url", "sent_id", "rel_tokens", "pair_prior",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("e1").alias("s"), F.col("e2").alias("o"),
+                    F.lit("forward").alias("rule"),
+                ),
+                F.struct(
+                    F.col("e2").alias("s"), F.col("e1").alias("o"),
+                    F.lit("reverse").alias("rule"),
+                ),
+            )
+        ).alias("d"),
+    ).select("url", "sent_id", "rel_tokens", "pair_prior", "d.s", "d.o", "d.rule")
 
-    fwd = _join(pairs, "e1", "e2", "forward")
-    rev = _join(pairs, "e2", "e1", "reverse")
+    if salt_buckets > 1:
+        j = salted_join(both, kg, ["s", "o"], buckets=salt_buckets, salt_source="url")
+    else:
+        j = both.join(kg, ["s", "o"], "inner")
     # no dropDuplicates here: duplicate candidates (the same pair mentioned
     # at two positions in a sentence) are legitimate evidence rows, and the
     # top-1 window downstream picks exactly one row per pair anyway — a
     # dedup would cost a full extra shuffle for zero output change
-    return fwd.unionByName(rev).withColumn("pred", uri_localname("pred_uri"))
+    return j.select(
+        "url", "sent_id",
+        F.col("s").alias("subj"), F.col("o").alias("obj"),
+        F.col("p").alias("pred_uri"), "rel_tokens", "pair_prior", "rule",
+    ).withColumn("pred", uri_localname("pred_uri"))
 
 
 def enrich_ontology(candidates: DataFrame, ontology: DataFrame) -> DataFrame:
