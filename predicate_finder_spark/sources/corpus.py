@@ -1,0 +1,69 @@
+"""Corpus readers/writers (SURVEY.md §2.1 S1/S2, K1).
+
+The reference loads the LC-QuAD JSON array with json.load
+(pretreatment/QueryFilter.py:29-31) and reads/writes TSV result files with
+the csv module (xgboost/performance.py:7-18, baseline/baseline.py:164-166).
+Spark equivalents with explicit schemas — no inference in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LCQUAD_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.StringType(), True),
+        T.StructField("corrected_question", T.StringType(), True),
+        T.StructField("sparql_query", T.StringType(), True),
+        T.StructField("sparql_template_id", T.IntegerType(), True),
+    ]
+)
+
+# the reference's "simple question" templates (QueryFilter.py:33-39)
+SIMPLE_TEMPLATE_IDS = (1, 2, 101, 151, 152)
+
+
+def read_question_corpus(
+    spark: SparkSession, path: str, simple_only: bool = True
+) -> DataFrame:
+    """S1: LC-QuAD-style JSON array scan (multiline) + template filter F1."""
+    df = spark.read.schema(LCQUAD_SCHEMA).option("multiLine", True).json(path)
+    if simple_only:
+        df = df.filter(F.col("sparql_template_id").isin(*SIMPLE_TEMPLATE_IDS))
+    return df
+
+
+def extract_gold_uris(questions: DataFrame) -> DataFrame:
+    """F3: regex '<(.*?)>' over the SPARQL text -> entity/predicate URIs by
+    position (reference QueryFilter.py:27,56,71,86 parses templates 1/2/101
+    with the entity first and the predicate second; 151/152 reversed — the
+    reference treats position per template, we emit both parses)."""
+    uris = F.expr(r"regexp_extract_all(sparql_query, '<(.*?)>', 1)")
+    return questions.select(
+        "_id",
+        "corrected_question",
+        "sparql_template_id",
+        F.try_element_at(uris, F.lit(1)).alias("uri1"),
+        F.try_element_at(uris, F.lit(2)).alias("uri2"),
+    )
+
+
+def read_tsv(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    """S2: TSV scan with explicit schema (reference csv.reader(delimiter='\\t'))."""
+    return spark.read.schema(schema).option("sep", "\t").csv(path)
+
+
+def write_tsv(df: DataFrame, path: str) -> None:
+    """K1: TSV sink (reference csv.writer.writerows).  Arrays are joined
+    with '|' — TSV holds no nested types."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.ArrayType):
+            cols.append(F.array_join(F.col(f.name).cast("array<string>"), "|").alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    df.select(*cols).write.mode("overwrite").option("sep", "\t").option(
+        "header", True
+    ).csv(path)
