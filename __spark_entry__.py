@@ -494,6 +494,16 @@ def q44_syntax_path(spark, sf):
     )
 
 
+def q45_centroids(spark, sf):
+    """A5/A6: distributed elementwise mean per label (IVF centroid shape)."""
+    return (
+        _t(spark, sf, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"))
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -553,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_jaccard_pairs": q42_jaccard_pairs,
         "q43_simhash": q43_simhash,
         "q44_syntax_path": q44_syntax_path,
+        "q45_centroids": q45_centroids,
     }
 
 
@@ -824,6 +835,11 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes na ON na.doc_id = id_a
         JOIN sizes nb ON nb.doc_id = id_b
         WHERE n_inter / (na.n + nb.n - n_inter) >= 1e-9
+    """
+    sqls["q45_centroids"] = """
+        SELECT label, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS centroid
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY label, i
     """
     # q40_kg_pipeline, q43_simhash, q44_syntax_path: pandas-UDF / bit-level
     # kernels — intentionally no oracle (driver records rows-only; semantics

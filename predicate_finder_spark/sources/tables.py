@@ -48,17 +48,25 @@ def write_stage(
     stage: str,
     config_hash: str,
     inputs: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Write ``df`` as a stage table with atomic commit + lineage manifest.
 
     Returns the manifest dict.  Partition-level lineage = per-parquet-file
     row counts computed from the committed files themselves (so the
     manifest describes what is actually on disk, not what was planned).
+
+    ``partition_by`` writes hive-layout partitions (the parquet-dir twin of
+    Iceberg partition transforms): a reader filtering on those columns gets
+    partition pruning — only matching directories are listed and scanned.
     """
     tmp = path + ".__tmp__"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
 
     spark = df.sparkSession
     per_file = (
@@ -67,7 +75,12 @@ def write_stage(
         .agg(F.count(F.lit(1)).alias("rows"))
         .collect()
     )
-    partitions = {os.path.basename(r["file"]): r["rows"] for r in per_file}
+    # key by path relative to the table root so hive-partition subdirs
+    # (lang=en/part-*.parquet) stay distinct
+    partitions = {
+        r["file"].split(".__tmp__/")[-1].split(".__tmp__%2F")[-1]: r["rows"]
+        for r in per_file
+    }
     manifest = {
         "stage": stage,
         "config_hash": config_hash,
