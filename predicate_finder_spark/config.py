@@ -33,7 +33,10 @@ class PipelineConfig:
     predicate_blacklist: tuple[str, ...] = (
         "#", "subject", "wiki", "hypernym", "gender",
     )
-    # scoring
+    # scoring: 'baseline' = IDF x cosine argmax (the reference's strongest
+    # artifact, baseline/baseline.py); 'rerank' adds the 6-feature model
+    # re-ranker on top (reference xgboost/test_xgb_pkl.py)
+    scorer: str = "baseline"
     max_ngram: int = 2
     default_idf: float = 2.0
     # skew handling

@@ -59,11 +59,19 @@ def extract_triples(
     ontology: DataFrame,
     embeddings: DataFrame,
     cfg: PipelineConfig | None = None,
+    idf: DataFrame | None = None,
 ) -> DataFrame:
     """Full extraction plan; returns the triples DataFrame (lazy unless
     cfg.checkpoint_dir is set, in which case each major stage commits a
-    manifest and reruns resume from the last complete stage)."""
+    manifest and reruns resume from the last complete stage).
+
+    ``idf``: optional precomputed (word, idf) table.  Default builds it
+    from this corpus (one extra aggregation pass).  Streaming/incremental
+    runs MUST pass a fixed table — IDF is corpus-level state, and
+    recomputing it per microbatch would make scores batch-dependent."""
     cfg = cfg or PipelineConfig()
+    if cfg.scorer not in ("baseline", "rerank"):
+        raise ValueError(f"unknown scorer {cfg.scorer!r}; use 'baseline' or 'rerank'")
     ch = cfg.config_hash()
     cp = cfg.checkpoint_dir
 
@@ -109,15 +117,26 @@ def extract_triples(
     cands = stage("candidates", _candidates, ["linked_mentions", "sentences"])
 
     def _triples() -> DataFrame:
-        idf = build_idf(sent_df)
+        idf_df = idf if idf is not None else build_idf(sent_df)
         scorer = make_scorer_udf(
             spark,
             collect_embeddings(embeddings),
-            collect_idf(idf),
+            collect_idf(idf_df),
             max_ngram=cfg.max_ngram,
             default_idf=cfg.default_idf,
         )
         scored = score_candidates(cands, scorer)
+        if cfg.scorer == "rerank":
+            # 6-feature model re-ranking (reference xgboost path §3.3):
+            # replace the raw score with the broadcast model's prediction
+            from predicate_finder_spark.operators.features import build_features
+            from predicate_finder_spark.operators.models import make_rerank_udf, rerank
+
+            feats = build_features(scored, kg_triples)
+            reranked = rerank(feats, make_rerank_udf(spark)).withColumn(
+                "score", F.col("rerank_score")
+            )
+            scored = reranked.drop("rerank_score")
         return to_triples(top1_per_pair(scored))
 
     return stage("triples", _triples, ["candidates"])

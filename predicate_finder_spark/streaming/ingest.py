@@ -51,6 +51,59 @@ def windowed_page_counts(
     )
 
 
+def streaming_triples(
+    spark: SparkSession,
+    pages_path: str,
+    aliases: DataFrame,
+    kg_triples: DataFrame,
+    ontology: DataFrame,
+    embeddings: DataFrame,
+    out_path: str,
+    cfg=None,
+    max_files_per_trigger: int = 4,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Incremental triple extraction: stream page files -> per-microbatch
+    run the SAME batch operators -> append to a parquet triples sink.
+
+    foreachBatch gives exactly-once-per-batch semantics against the file
+    source's checkpointed offsets; because every operator is a pure
+    function of its batch plus static dictionaries, the union of streamed
+    batches equals the batch run over the whole corpus (tested).
+
+    ``checkpoint_dir`` persists source offsets: a later invocation with the
+    same checkpoint processes only files added since — the incremental
+    resume path.  Without it every invocation reprocesses (and re-appends)
+    the whole directory.
+    """
+    from predicate_finder_spark.operators.extract import extract_pages
+    from predicate_finder_spark.operators.mentions import explode_sentences
+    from predicate_finder_spark.operators.scoring import build_idf
+    from predicate_finder_spark.plans.pipeline import extract_triples
+
+    # IDF is corpus-level state: build it ONCE from the static snapshot and
+    # hold it fixed across microbatches (per-batch IDF would drift scores)
+    idf = build_idf(explode_sentences(extract_pages(spark.read.parquet(pages_path)))).cache()
+    idf.count()
+
+    stream = read_page_stream(spark, pages_path, max_files_per_trigger)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        tri = extract_triples(
+            spark, batch_df, aliases, kg_triples, ontology, embeddings, cfg, idf=idf
+        )
+        tri.write.mode("append").parquet(out_path)
+
+    writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str) -> None:
     """Drive a (bounded file-source) stream to completion into a memory
     sink — the synchronous smoke path for tests."""

@@ -283,6 +283,77 @@ def build_embeddings(spark: SparkSession, dim: int = 16) -> DataFrame:
     return spark.createDataFrame(rows, schema="word string, vector array<float>")
 
 
+def synth_question_set(
+    spark: SparkSession, n_questions: int, n_entities: int = 200
+) -> dict[str, DataFrame]:
+    """LC-QuAD-shaped fixture for the question pipeline (plans/questions.py):
+    questions + gold (qid, entity, pred) + a KG holding each question's
+    answer triple in the right direction plus 2 same-direction distractor
+    predicates per question (so scoring, not lookup, decides)."""
+    ents = entity_names(n_entities)
+    surfaces = [e.replace("_", " ") for e in ents]
+    ent_arr = F.array(*[F.lit(s) for s in surfaces])
+    ent_canon_arr = F.array(*[F.lit(e) for e in ents])
+    pred_arr = F.array(*[F.lit(p) for p in PREDICATES])
+    pred_words_arr = F.array(*[F.lit(" ".join(_camel_words(p))) for p in PREDICATES])
+    k = len(PREDICATES)
+
+    q = spark.range(n_questions).withColumnRenamed("id", "qnum").withColumn(
+        "qid", F.format_string("q%06d", F.col("qnum"))
+    )
+    ue = _u(F.col("qid"), "e")
+    eidx = F.least(F.floor(n_entities * F.pow(ue, 2.0)).cast("int"), F.lit(n_entities - 1))
+    uo = _u(F.col("qid"), "o")
+    oidx = F.pmod(eidx + 1 + F.floor(uo * (n_entities - 1)).cast("int"), F.lit(n_entities)).cast("int")
+    pidx = F.floor(_u(F.col("qid"), "p") * k).cast("int")
+    d1 = F.pmod(pidx + 1 + F.floor(_u(F.col("qid"), "d1") * (k - 1)).cast("int"), F.lit(k)).cast("int")
+    d2 = F.pmod(pidx + 2 + F.floor(_u(F.col("qid"), "d2") * (k - 2)).cast("int"), F.lit(k)).cast("int")
+    reversed_ = _u(F.col("qid"), "r") < 0.15
+
+    q = (
+        q.withColumn("entity", F.element_at(ent_canon_arr, eidx + 1))
+        .withColumn("surface", F.element_at(ent_arr, eidx + 1))
+        .withColumn("other", F.element_at(ent_canon_arr, oidx + 1))
+        .withColumn("pred", F.element_at(pred_arr, pidx + 1))
+        .withColumn("pred_words", F.element_at(pred_words_arr, pidx + 1))
+        .withColumn("d1", F.element_at(pred_arr, d1 + 1))
+        .withColumn("d2", F.element_at(pred_arr, d2 + 1))
+        .withColumn("reversed", reversed_)
+        .withColumn(
+            "question",
+            F.when(
+                reversed_,
+                F.concat(F.lit("Whose "), F.col("pred_words"), F.lit(" is "),
+                         F.col("surface"), F.lit("?")),
+            ).otherwise(
+                F.concat(F.lit("What is the "), F.col("pred_words"), F.lit(" of "),
+                         F.col("surface"), F.lit("?")),
+            ),
+        )
+        .persist()
+    )
+
+    def uri(c):
+        return F.concat(F.lit(ONTOLOGY_NS), c)
+
+    # answer triple: forward -> (entity, p, other); reversed -> (other, p, entity)
+    s_col = F.when(F.col("reversed"), F.col("other")).otherwise(F.col("entity"))
+    o_col = F.when(F.col("reversed"), F.col("entity")).otherwise(F.col("other"))
+    kg = q.select(
+        s_col.alias("s"),
+        F.explode(F.array(uri(F.col("pred")), uri(F.col("d1")), uri(F.col("d2")))).alias("p"),
+        o_col.alias("o"),
+    ).distinct()
+
+    return {
+        "questions": q.select("qid", "question"),
+        "gold": q.select("qid", "entity", "pred"),
+        "kg_triples": kg,
+        "aliases": build_aliases(spark, n_entities),
+        "embeddings": build_embeddings(spark),
+    }
+
+
 def synth_corpus(spark: SparkSession, n_pages: int, n_entities: int = 200) -> dict[str, DataFrame]:
     """Full fixture set: pages + dictionaries + gold.
 
