@@ -410,12 +410,12 @@ def q35_sessionize(spark, sf):
 
 
 def q36_tumbling_window(spark, sf):
+    # hour bucket via pure epoch arithmetic — tz-independent, unlike
+    # date_trunc which truncates in the (driver-controlled) session tz
+    bucket = (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600).cast("long")
     return (
         _t(spark, sf, "events")
-        .groupBy(
-            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_start"),
-            "event_type",
-        )
+        .groupBy(bucket.alias("hour_start"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
     )
 
@@ -777,7 +777,7 @@ def oracle_sql() -> dict[str, str]:
         FROM g GROUP BY user_id
     """
     sqls["q36_tumbling_window"] = """
-        SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_start, event_type,
+        SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_start, event_type,
                count(*) AS n, round(sum(value), 2) AS total
         FROM events GROUP BY 1, 2
     """
