@@ -47,3 +47,24 @@ def test_ivf_probes_fewer_rows(vectors, queries, spark):
     centroids, assigned = build_ivf_cells(vectors, n_cells=8)
     n_cells_assigned = assigned.select("cell_id").distinct().count()
     assert n_cells_assigned == 8
+
+
+def test_refine_ivf_improves_or_holds_recall(vectors, queries):
+    from predicate_finder_spark.operators.ann import refine_ivf
+
+    exact = brute_force_topk(vectors, queries, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+
+    centroids0, assigned0 = build_ivf_cells(vectors, n_cells=8)
+    a0 = {(r["query_id"], r["vec_id"]) for r in
+          ivf_topk(assigned0, centroids0, queries, k=10, n_probe=4).collect()}
+
+    centroids1, assigned1 = refine_ivf(vectors, centroids0, n_iter=2)
+    c1 = centroids1.collect()
+    assert len(c1) <= 8 and all(len(r["centroid"]) == 64 for r in c1)
+    a1 = {(r["query_id"], r["vec_id"]) for r in
+          ivf_topk(assigned1, centroids1, queries, k=10, n_probe=4).collect()}
+    r0 = len(e & a0) / len(e)
+    r1 = len(e & a1) / len(e)
+    # Lloyd refinement should not collapse recall (usually improves it)
+    assert r1 >= r0 - 0.1, (r0, r1)
