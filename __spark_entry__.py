@@ -494,6 +494,38 @@ def q44_syntax_path(spark, sf):
     )
 
 
+def q46_asof_join(spark, sf):
+    """As-of join (union + carry-forward window — one shuffle, no range
+    blow-up): for each event, the user's most recent order at that time."""
+    from predicate_finder_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    out = asof_join(
+        ev, orders, key="user_id", left_time="ts", right_time="o_orderdate",
+        right_cols=["o_orderkey"], tie_col="o_orderkey",
+    )
+    return out.select("event_id", "user_id", "o_orderkey")
+
+
+def q47_range_join(spark, sf):
+    """Range join via bucketized equi-join: price bands over order totals."""
+    from predicate_finder_spark.operators.temporal import range_join
+
+    bands = _t(spark, sf, "orders").sparkSession.createDataFrame(
+        [("low", 0.0, 50_000.0), ("mid", 50_000.0, 150_000.0),
+         ("high", 150_000.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    joined = range_join(o, bands, value_col="o_totalprice", bucket_width=25_000.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
 def q45_centroids(spark, sf):
     """A5/A6: distributed elementwise mean per label (IVF centroid shape)."""
     return (
@@ -564,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_simhash": q43_simhash,
         "q44_syntax_path": q44_syntax_path,
         "q45_centroids": q45_centroids,
+        "q46_asof_join": q46_asof_join,
+        "q47_range_join": q47_range_join,
     }
 
 
@@ -840,6 +874,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT label, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS centroid
         FROM embeddings, range(1, 65) t(i)
         GROUP BY label, i
+    """
+    sqls["q46_asof_join"] = """
+        SELECT e.event_id, e.user_id, o.o_orderkey
+        FROM events e
+        LEFT JOIN LATERAL (
+          SELECT o_orderkey FROM orders
+          WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+          ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+        ) o ON true
+    """
+    sqls["q47_range_join"] = """
+        SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+                     ('high', 150000.0, 1e9)) AS b(band, lo, hi)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
     """
     # q40_kg_pipeline, q43_simhash, q44_syntax_path: pandas-UDF / bit-level
     # kernels — intentionally no oracle (driver records rows-only; semantics
