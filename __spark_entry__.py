@@ -526,6 +526,21 @@ def q47_range_join(spark, sf):
     )
 
 
+def q48_quantiles(spark, sf):
+    """Exact interpolated quantiles per group (Spark percentile == DuckDB
+    quantile_cont); the approx variants (percentile_approx /
+    approx_count_distinct) exist as built-ins but are not oracle-exact."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+        )
+    )
+
+
 def q45_centroids(spark, sf):
     """A5/A6: distributed elementwise mean per label (IVF centroid shape)."""
     return (
@@ -598,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_centroids": q45_centroids,
         "q46_asof_join": q46_asof_join,
         "q47_range_join": q47_range_join,
+        "q48_quantiles": q48_quantiles,
     }
 
 
@@ -891,6 +907,13 @@ def oracle_sql() -> dict[str, str]:
                      ('high', 150000.0, 1e9)) AS b(band, lo, hi)
           ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY band
+    """
+    sqls["q48_quantiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 4) AS p25,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.75), 4) AS p75
+        FROM events GROUP BY event_type
     """
     # q40_kg_pipeline, q43_simhash, q44_syntax_path: pandas-UDF / bit-level
     # kernels — intentionally no oracle (driver records rows-only; semantics
