@@ -75,9 +75,17 @@ def _jaro(s1: str, s2: str) -> float:
     return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
 
 
-def jaro_winkler(s1: str, s2: str, p: float = 0.1) -> float:
-    """Jaro-Winkler similarity (prefix-boosted Jaro), pure python."""
+def jaro_winkler(s1: str, s2: str, p: float = 0.1, boost_threshold: float = 0.7) -> float:
+    """Jaro-Winkler similarity (prefix-boosted Jaro), pure python.
+
+    The prefix boost applies only when the Jaro similarity exceeds
+    ``boost_threshold`` (0.7) — Winkler's original definition, and the one
+    DuckDB's ``jaro_winkler_similarity`` implements (verified empirically),
+    so the oracle can check this kernel bit-for-bit.
+    """
     j = _jaro(s1, s2)
+    if j <= boost_threshold:
+        return j
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a != b:

@@ -32,17 +32,46 @@ def build_idf(sent_df: DataFrame) -> DataFrame:
     docs = sent_df.select("url", F.explode(F.transform("tokens", F.lower)).alias("word")).distinct()
     n_docs = sent_df.select("url").distinct().count()
     return docs.groupBy("word").agg(F.count(F.lit(1)).alias("df")).select(
-        "word", F.log2(F.lit(float(n_docs)) / F.col("df")).alias("idf")
+        "word", "df", F.log2(F.lit(float(n_docs)) / F.col("df")).alias("idf")
     )
 
 
-def collect_embeddings(embeddings: DataFrame) -> dict[str, np.ndarray]:
+def collect_embeddings(
+    embeddings: DataFrame, vocab: set[str] | None = None
+) -> dict[str, np.ndarray]:
+    """Embedding dict for the scorer broadcast.  ``vocab`` (the capped IDF
+    vocabulary + any extra tokens) restricts the pull — on open web text the
+    embedding table is unbounded and an unfiltered toPandas() is a driver
+    OOM.  The filter is pushed into the scan (isin over a driver-known set
+    when small, else a broadcast semi-join)."""
+    if vocab is not None:
+        if len(vocab) <= 10_000:
+            embeddings = embeddings.filter(F.col("word").isin(*vocab))
+        else:
+            spark = embeddings.sparkSession
+            vdf = spark.createDataFrame([(w,) for w in sorted(vocab)], "word string")
+            embeddings = embeddings.join(F.broadcast(vdf), "word", "left_semi")
     pdf = embeddings.toPandas()
     return {w: np.asarray(v, dtype=np.float64) for w, v in zip(pdf["word"], pdf["vector"])}
 
 
-def collect_idf(idf: DataFrame) -> dict[str, float]:
-    pdf = idf.toPandas()
+def collect_idf(
+    idf: DataFrame, min_df: int = 1, max_entries: int | None = None
+) -> dict[str, float]:
+    """IDF dict for the scorer broadcast, with a bounded driver pull.
+
+    On open web text the vocabulary is unbounded (every typo is a word), so
+    the collect is capped BEFORE it reaches the driver: ``min_df`` drops
+    hapaxes (words below the floor fall back to the scorer's default_idf —
+    exactly what an OOV word gets), ``max_entries`` keeps the top-K by
+    document frequency via a distributed top-k (orderBy+limit ->
+    TakeOrderedAndProject, never a single-partition window).
+    """
+    if min_df > 1:
+        idf = idf.filter(F.col("df") >= min_df)
+    if max_entries is not None:
+        idf = idf.orderBy(F.col("df").desc(), F.col("word").asc()).limit(max_entries)
+    pdf = idf.select("word", "idf").toPandas()
     return dict(zip(pdf["word"], pdf["idf"]))
 
 
@@ -64,34 +93,75 @@ def make_scorer_udf(
     def score_udf(rel_tokens: pd.Series, pred_tokens: pd.Series) -> pd.Series:
         E = emb_bc.value
         I = idf_bc.value
+        dim = len(next(iter(E.values()))) if E else 0
+        # per-batch memoization: predicates repeat heavily within a batch
+        # (every candidate pair scores the whole predicate vocabulary), and
+        # so do question tokens — cache both.
+        pred_cache: dict[tuple, tuple] = {}
+        tok_cache: dict[str, np.ndarray | None] = {}
 
-        def mean_vec(words) -> np.ndarray | None:
-            vs = [E[w] for w in words if w in E]
-            if not vs:
-                return None
-            return np.mean(vs, axis=0)
+        def tok_vec(t: str):
+            v = tok_cache.get(t, False)
+            if v is False:
+                v = E.get(t)
+                tok_cache[t] = v
+            return v
+
+        def pred_stats(pw_raw) -> tuple:
+            key = tuple(pw_raw) if pw_raw is not None else ()
+            got = pred_cache.get(key)
+            if got is None:
+                pw = [t.lower() for t in key]
+                vs = [v for v in (tok_vec(w) for w in pw) if v is not None]
+                if vs:
+                    pv = np.mean(vs, axis=0)
+                    pn = float(np.linalg.norm(pv))
+                else:
+                    pv, pn = None, 0.0
+                widf = max((I.get(w, 0.0) for w in pw), default=0.0)
+                if widf <= 0.0:
+                    widf = default_idf
+                got = (pv, pn, widf)
+                pred_cache[key] = got
+            return got
 
         out = np.zeros(len(rel_tokens), dtype=np.float64)
-        for i, (rel, pw) in enumerate(zip(rel_tokens, pred_tokens)):
-            rel = [t.lower() for t in (list(rel) if rel is not None else [])]
-            pw = [t.lower() for t in (list(pw) if pw is not None else [])]
-            pv = mean_vec(pw)
+        for i, (rel, pw_raw) in enumerate(zip(rel_tokens, pred_tokens)):
+            pv, pn, widf = pred_stats(pw_raw)
             if pv is None:
                 continue
-            pn = np.linalg.norm(pv)
+            rel = [t.lower() for t in (list(rel) if rel is not None else [])]
+            n = len(rel)
             best = 0.0
-            for n in range(1, max_ngram + 1):
-                for j in range(0, len(rel) - n + 1):
-                    gv = mean_vec(rel[j : j + n])
-                    if gv is None:
-                        continue
-                    c = float(gv @ pv) / (float(np.linalg.norm(gv)) * float(pn) + 1e-9)
-                    if c > best:
-                        best = c
+            if n:
+                # all n-gram mean vectors as ONE matrix, scored with ONE
+                # matvec against the predicate vector (the old per-gram
+                # python loop was the hot kernel's bottleneck).  Windowed
+                # sums accumulate left-to-right like np.mean, and OOV
+                # tokens contribute zero to the sum / nothing to the count
+                # — identical arithmetic to the scalar formulation.
+                V = np.zeros((n, dim), dtype=np.float64)
+                m = np.zeros(n, dtype=np.float64)
+                for j, t in enumerate(rel):
+                    v = tok_vec(t)
+                    if v is not None:
+                        V[j] = v
+                        m[j] = 1.0
+                grams = []
+                for ln in range(1, min(max_ngram, n) + 1):
+                    sums = V[: n - ln + 1].copy()
+                    counts = m[: n - ln + 1].copy()
+                    for t in range(1, ln):
+                        sums += V[t : t + n - ln + 1]
+                        counts += m[t : t + n - ln + 1]
+                    valid = counts > 0
+                    if valid.any():
+                        grams.append(sums[valid] / counts[valid, None])
+                if grams:
+                    G = np.vstack(grams)
+                    sims = (G @ pv) / (np.linalg.norm(G, axis=1) * pn + 1e-9)
+                    best = max(0.0, float(sims.max()))
             # max-IDF of predicate words, default 2.0 (baseline.py:133-138)
-            widf = max((I.get(w, 0.0) for w in pw), default=0.0)
-            if widf <= 0.0:
-                widf = default_idf
             out[i] = best * widf
         return pd.Series(out)
 
@@ -113,9 +183,15 @@ def score_candidates(candidates: DataFrame, score_udf) -> DataFrame:
     directions for an entity pair.
     """
     base = score_udf(F.col("rel_tokens"), F.col("pred_tokens"))
-    first = F.lower(F.element_at(F.col("rel_tokens"), 1))
-    last = F.lower(F.element_at(F.col("rel_tokens"), -1))
-    surface_reversed = first.isin("is", "was", "are", "were") & (last == F.lit("of"))
+    # try_element_at: ANSI-safe when rel_tokens is empty (adjacent mentions
+    # produce a zero-length between-span slice; element_at would throw
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's default ANSI mode).
+    # A null first/last token means "no surface signal" -> not reversed.
+    first = F.lower(F.try_element_at(F.col("rel_tokens"), F.lit(1)))
+    last = F.lower(F.try_element_at(F.col("rel_tokens"), F.lit(-1)))
+    surface_reversed = F.coalesce(
+        first.isin("is", "was", "are", "were") & (last == F.lit("of")), F.lit(False)
+    )
     agrees = surface_reversed == (F.col("rule") == F.lit("reverse"))
     return candidates.withColumn(
         "score", base * F.when(agrees, F.lit(1.1)).otherwise(F.lit(1.0))

@@ -54,6 +54,29 @@ def test_simhash_close_for_similar(spark):
     assert d12 < d13
 
 
+def test_simhash_single_token_equals_token_hash(spark):
+    # For a single token the sign-sum per bit is +1/-1, so the signature IS
+    # the token's 60-bit hash.  Pins every bit — a division-based extraction
+    # loses bits 0-6 to double rounding (the sandbox ADVICE regression).
+    import hashlib
+
+    tok = "regression"
+    expect = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+    got = _one(spark, H.simhash64(F.array(F.lit(tok))))
+    assert got == expect
+
+
+def test_simhash_low_bits_vary(spark):
+    # with exact bit extraction the 7 lowest bits are NOT constant across docs
+    sigs = (
+        spark.range(64)
+        .select(H.simhash64(F.array(F.col("id").cast("string"))).alias("s"))
+        .collect()
+    )
+    low = {r["s"] & 0x7F for r in sigs}
+    assert len(low) > 1
+
+
 def test_rolling_fingerprint_matches_python(spark):
     s = "hello world"
     expect = 0

@@ -57,6 +57,28 @@ def test_scorer_oov_default_idf(spark):
     assert abs(df.first()["score"] - 2.0) < 1e-6
 
 
+def test_score_candidates_adjacent_mentions_empty_span(spark):
+    # Adjacent linked entities yield a zero-length between-span slice;
+    # element_at would throw under ANSI — try_element_at must treat the
+    # empty rel_tokens as "no surface signal" (not reversed).
+    from predicate_finder_spark.operators.scoring import score_candidates
+
+    emb = {"t": np.array([1.0, 0.0])}
+    udf = make_scorer_udf(spark, emb, {"t": 1.0}, max_ngram=1)
+    cands = spark.createDataFrame(
+        [("u", 0, "A", "B", "p", ["t"], ["t"], "forward"),
+         ("u", 0, "A", "B", "p", ["t"], ["t"], "reverse"),
+         ("u", 1, "A", "B", "p", [], ["t"], "forward"),
+         ("u", 1, "A", "B", "p", [], ["t"], "reverse")],
+        "url string, sent_id int, subj string, obj string, pred string, "
+        "rel_tokens array<string>, pred_tokens array<string>, rule string",
+    )
+    rows = {(r["sent_id"], r["rule"]): r["score"] for r in score_candidates(cands, udf).collect()}
+    # empty span: no crash, forward (not-reversed agrees) gets the boost
+    assert rows[(1, "forward")] == 0.0 and rows[(1, "reverse")] == 0.0
+    assert rows[(0, "forward")] > rows[(0, "reverse")]
+
+
 def test_top1_deterministic_tiebreak(spark):
     rows = [
         ("u", 0, "A", "B", "zeta", 1.0),
@@ -68,6 +90,34 @@ def test_top1_deterministic_tiebreak(spark):
     )
     got = top1_per_pair(df).collect()
     assert len(got) == 1 and got[0]["pred"] == "alpha"
+
+
+def test_collect_idf_caps_driver_pull(spark):
+    from predicate_finder_spark.operators.scoring import collect_idf
+
+    # adversarially wide vocabulary: 1000 hapaxes + 1 common word
+    sent = spark.createDataFrame(
+        [(f"u{i}", 0, "s", [f"w{i}", "common"]) for i in range(1000)],
+        "url string, sent_id int, sentence string, tokens array<string>",
+    )
+    idf = build_idf(sent)
+    floored = collect_idf(idf, min_df=2)
+    assert set(floored) == {"common"}
+    capped = collect_idf(idf, max_entries=10)
+    assert len(capped) == 10 and "common" in capped
+    # broadcast budget: 10 entries of (word, float) stay tiny
+    import sys
+    assert sum(sys.getsizeof(k) + 8 for k in capped) < 4096
+
+
+def test_collect_embeddings_vocab_filter(spark):
+    from predicate_finder_spark.operators.scoring import collect_embeddings
+
+    emb = spark.createDataFrame(
+        [("a", [1.0]), ("b", [2.0]), ("c", [3.0])], "word string, vector array<double>"
+    )
+    d = collect_embeddings(emb, vocab={"a", "c"})
+    assert set(d) == {"a", "c"}
 
 
 def test_blacklist_filter(spark):
