@@ -16,14 +16,16 @@ class PipelineConfig:
     """Knobs for the triple-extraction pipeline.
 
     Defaults mirror the reference's behavior where one exists:
-    - ``spotlight_confidence`` 0.4  (reference pretreatment/DataExtract.py:131)
     - ``predicate_blacklist``       (reference pretreatment/DataExtract.py:58-62)
     - ``max_ngram`` 2 for scoring n-grams (reference baseline/baseline.py:124)
     - ``default_idf`` 2.0           (reference baseline/baseline.py:133-138)
+    - ``min_link_prior`` plays spotlight_confidence (DataExtract.py:131,
+      there 0.4); the default 0.0 keeps every dictionary candidate and lets
+      disambiguation pick — set 0.4 to reproduce the reference's pruning.
     """
 
     # entity linking
-    min_link_prior: float = 0.4
+    min_link_prior: float = 0.0
     max_mention_ngram: int = 3
     use_lsh_blocking: bool = False
     lsh_shingle_size: int = 3
@@ -39,6 +41,11 @@ class PipelineConfig:
     scorer: str = "baseline"
     max_ngram: int = 2
     default_idf: float = 2.0
+    # driver-broadcast budget: floor/cap the IDF vocabulary pulled to the
+    # driver (open web text has unbounded vocabulary; words below the floor
+    # score with default_idf, exactly like OOV).  None/1 = unbounded.
+    idf_min_df: int = 1
+    max_vocab: int | None = None
     # skew handling
     salt_buckets: int = 8
     salted_join: bool = True

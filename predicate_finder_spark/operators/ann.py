@@ -42,30 +42,46 @@ def brute_force_topk(
     )
 
 
+def _seed_vectors(
+    vectors: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic centroid seeds: the n_cells lowest-id vectors via
+    orderBy().limit() — Catalyst plans this as TakeOrderedAndProject, a
+    *distributed* top-k (per-partition heap + driver merge of n_cells rows).
+
+    Never a global ``Window.orderBy``: that forces the entire vectors table
+    through ONE task — at 100 TB the single bottleneck of the ANN path
+    (tests/test_ann.py pins the plan shape).
+    """
+    return vectors.select(F.col(id_col), F.col(vec_col)).orderBy(F.col(id_col).asc()).limit(n_cells)
+
+
 def build_ivf_cells(
     vectors: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
-    """One-pass IVF index: centroids = deterministic sample (every vector
-    whose id hashes into the first n_cells slots of a wide range), then
-    assign each vector to its nearest centroid.
+    """One-pass IVF index: centroids = deterministic seed sample
+    (distributed top-k by id), then assign each vector to its nearest
+    centroid.
 
     Returns (centroids(cell_id, centroid), assigned(…, cell_id)).  At 100 TB
     the assignment is one broadcast join + argmin over n_cells — a narrow
-    stage; a real deployment would Lloyd-iterate a few times, same shape.
+    stage; ``refine_ivf`` Lloyd-iterates from here, same shape.
     """
-    w = Window.orderBy(F.col(id_col).asc())
-    centroids = (
-        vectors.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_cells)
-        .select((F.col("__r") - 1).alias("cell_id"), F.col(vec_col).alias("centroid"))
+    spark = vectors.sparkSession
+    seeds = sorted(
+        _seed_vectors(vectors, n_cells, id_col, vec_col).collect(),
+        key=lambda r: r[id_col],
     )
-    cents = centroids.collect()
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in r["centroid"]]) for r in cents])
-    n = len(cents)
+    vec_t = vectors.schema[vec_col].dataType
+    centroids = spark.createDataFrame(
+        [(i, list(r[vec_col])) for i, r in enumerate(seeds)],
+        schema=f"cell_id int, centroid {vec_t.simpleString()}",
+    )
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in r[vec_col]]) for r in seeds])
+    n = len(seeds)
     sims = F.transform(cent_arr, lambda c: cosine_expr(F.col(vec_col), c))
     best = F.expr(
         "array_position(transform(sequence(1, {n}), i -> element_at(__sims, i)), array_max(__sims)) - 1".format(n=n)

@@ -60,6 +60,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard near-dup pairs via inverted-index join.
 
@@ -67,10 +68,23 @@ def ngram_jaccard_pairs(
     per-pair intersection count -> |A∪B| = |A|+|B|-|A∩B|.  Only documents
     sharing >=1 shingle ever meet, so the join is the blocking step.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    ``max_shingle_df``: the self-join is quadratic *per shingle group* — a
+    boilerplate shingle shared by 10^6 docs would emit ~5*10^11 pairs.  With
+    a document-frequency cap, shingles with df above it are dropped from the
+    universe (both the join AND the per-doc sizes — Jaccard over the pruned
+    shingle space), bounding any group's pair count at df^2/2.  Hot shingles
+    carry no near-dup signal, so recall on real pairs is unaffected; None
+    keeps the exact unpruned semantics.
     """
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias("shingle")
     ).distinct()
+    if max_shingle_df is not None:
+        dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            dfc.filter(F.col("__df") <= max_shingle_df).select("shingle"), "shingle"
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -107,7 +121,11 @@ def minhash_lsh_pairs(
     signature -> band keys -> explode -> self-join on band key (blocking,
     no pairwise scan).  With b bands of r rows, P(candidate) =
     1-(1-s^r)^b — the standard S-curve.  ``verify_threshold`` None returns
-    raw candidates (recall-oriented); otherwise exact Jaccard prunes them.
+    raw candidates (recall-oriented); otherwise exact Jaccard is computed
+    FOR THE CANDIDATE PAIRS ONLY — each side's shingle set is joined onto
+    the pair and intersected per row (array_intersect), so the verify cost
+    is O(|candidates|), never a second corpus-wide inverted-index self-join
+    (which would defeat the point of LSH at 100 TB).
     """
     rows = num_hashes // bands
     shing = word_shingles(tokenize(F.col(text_col)), shingle_k)
@@ -120,8 +138,22 @@ def minhash_lsh_pairs(
     pairs = _pair_frame(docs, id_col, keyed)
     if verify_threshold is None:
         return pairs
-    exact = ngram_jaccard_pairs(docs, id_col, text_col, shingle_k, verify_threshold)
-    return pairs.join(exact, ["id_a", "id_b"], "inner")
+    # same shingle universe as ngram_jaccard_pairs (word_shingles is
+    # already distinct), so the jaccard values are identical
+    sets = docs.select(F.col(id_col).alias("id"), shing.alias("sh"))
+    verified = (
+        pairs.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("__n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("__n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("__n_inter")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
 
 
 def simhash_pairs(
@@ -129,17 +161,32 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    n_chunks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 60-bit signature, blocked on 4 15-bit chunks
-    (pigeonhole: any pair within hamming distance 3 shares a chunk; larger
-    ``max_hamming`` trades recall), verified by exact hamming distance."""
+    """SimHash near-dup pairs: 60-bit signature, blocked on ``n_chunks``
+    bit-chunks (pigeonhole: any pair within hamming distance n_chunks-1 is
+    guaranteed to share a chunk), verified by exact hamming distance.
+
+    The recall/cost dial: more chunks guarantee recall at larger
+    ``max_hamming`` but shrink each chunk's key space (60/n bits), which at
+    web scale inflates candidate-pair counts — the default 4x15-bit chunks
+    (guaranteed recall to distance 3) is the standard near-dup setting.
+    """
+    widths = [60 // n_chunks] * n_chunks
+    widths[-1] += 60 - sum(widths)
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     sigs = docs.select(F.col(id_col), simhash64(tokenize(F.col(text_col))).alias("sig"))
     chunks = sigs.select(
         F.col(id_col), "sig",
         F.explode(
             F.array(*[
-                F.concat(F.lit(f"c{i}:"), F.shiftright(F.col("sig"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1)).cast("string"))
-                for i in range(4)
+                F.concat(
+                    F.lit(f"c{i}:"),
+                    F.shiftright(F.col("sig"), offsets[i])
+                    .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                    .cast("string"),
+                )
+                for i in range(n_chunks)
             ])
         ).alias("block_key"),
     )

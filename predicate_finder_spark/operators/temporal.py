@@ -80,23 +80,59 @@ def range_join(
     hi_col: str = "hi",
     bucket_width: float = 100.0,
     how: str = "inner",
+    clamp: bool = True,
 ) -> DataFrame:
     """Join fact rows to intervals with ``lo <= value < hi`` via bucketized
     equi-join (no crossJoin/theta join: Catalyst would otherwise fall back
-    to BroadcastNestedLoopJoin, which dies at scale)."""
+    to BroadcastNestedLoopJoin, which dies at scale).
+
+    ``clamp`` (default on) first computes the fact table's observed
+    [min, max] of ``value_col`` (one cheap column-pruned agg) and clips each
+    interval's bucket range to it — an open-ended band like [150k, 1e9)
+    would otherwise explode into (hi-lo)/bucket_width rows (40k buckets for
+    one interval at width 25k).  Buckets outside the observed value range
+    can never match, so results are identical.
+    """
+    bounds = None
+    if clamp:
+        row = fact.agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+        ).first()
+        if row["lo"] is not None:
+            bounds = (float(row["lo"]), float(row["hi"]))
     f = fact.withColumn(
         "__bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
     )
-    iv = intervals.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / bucket_width).cast("long"),
-                F.floor((F.col(hi_col) - 1e-9) / bucket_width).cast("long"),
-            )
-        ),
-    )
+    iv = bucketize_intervals(intervals, lo_col, hi_col, bucket_width, bounds)
     joined = f.join(iv, "__bucket", how).filter(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     )
     return joined.drop("__bucket")
+
+
+def bucketize_intervals(
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Explode each [lo, hi) interval into one row per overlapped bucket,
+    clipped to ``bounds`` when given — bounded duplication even for
+    open-ended intervals (hi = +inf clips to the observed max)."""
+    lo_b, hi_b = F.col(lo_col), F.col(hi_col) - 1e-9
+    if bounds is not None:
+        lo_b = F.greatest(lo_b, F.lit(bounds[0]))
+        hi_b = F.least(hi_b, F.lit(bounds[1]))
+    first_bucket = F.floor(lo_b / bucket_width).cast("long")
+    last_bucket = F.floor(hi_b / bucket_width).cast("long")
+    return intervals.withColumn(
+        "__bucket",
+        F.explode(
+            # a fully-out-of-range interval clips to an empty bucket list
+            # (guard: F.sequence(a, b) with a > b would count DOWNWARD)
+            F.when(
+                first_bucket <= last_bucket, F.sequence(first_bucket, last_bucket)
+            ).otherwise(F.array().cast("array<long>")),
+        ),
+    )

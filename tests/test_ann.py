@@ -49,6 +49,18 @@ def test_ivf_probes_fewer_rows(vectors, queries, spark):
     assert n_cells_assigned == 8
 
 
+def test_ivf_seeding_is_distributed_topk(vectors, spark):
+    # centroid seeding must plan as TakeOrderedAndProject (distributed
+    # per-partition top-k), never a global single-partition Window
+    from predicate_finder_spark.operators.ann import _seed_vectors
+
+    plan = _seed_vectors(vectors, 8, "vec_id", "embedding")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_refine_ivf_improves_or_holds_recall(vectors, queries):
     from predicate_finder_spark.operators.ann import refine_ivf
 

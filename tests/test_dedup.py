@@ -41,10 +41,50 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 3) not in got and (3, 4) not in got
 
 
+def test_minhash_verify_runs_on_candidates_only(docs, spark):
+    out = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8, verify_threshold=0.1)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # the verify stage joins shingle SETS onto the candidate pairs; a
+    # regression to the corpus-wide inverted-index recompute would reintroduce
+    # an exploded `shingle` column into the plan
+    assert "shingle#" not in plan, plan
+
+
+def test_minhash_verify_jaccard_matches_exact(docs):
+    lsh = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8, verify_threshold=0.1).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert lsh  # candidates exist
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9, (k, v, exact.get(k))
+
+
+def test_hot_shingle_cap_bounds_pairs(spark):
+    # 30 docs share one boilerplate shingle -> 435 pairs uncapped; the df cap
+    # drops the hot shingle from the universe, leaving no co-occurrence
+    rows = [(i, f"common boiler plate unique{i} token{i} word{i}") for i in range(30)]
+    docs30 = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(docs30, threshold=1e-9).count()
+    capped = dedup.ngram_jaccard_pairs(docs30, threshold=1e-9, max_shingle_df=5).count()
+    assert uncapped == 435 and capped == 0
+
+
 def test_simhash_pairs(docs):
-    got = {(r["id_a"], r["id_b"]) for r in dedup.simhash_pairs(docs, max_hamming=10).collect()}
+    # n_chunks = max_hamming + 1 makes the pigeonhole blocking guarantee
+    # recall at that distance (exact 60-bit signatures put the one-word
+    # near-dup at hamming 4; the old broken low bits hid that)
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.simhash_pairs(docs, max_hamming=10, n_chunks=11).collect()}
     assert (0, 1) in got and (0, 2) in got
     assert (0, 3) not in got
+
+
+def test_simhash_pairs_default_blocking_exact_dup(docs):
+    got = {(r["id_a"], r["id_b"]) for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert (0, 1) in got and (0, 3) not in got
 
 
 def test_embedding_cosine_pairs(spark):

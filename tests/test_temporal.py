@@ -63,6 +63,22 @@ def test_range_join(spark):
     assert got == {(1, "a"), (4, "a"), (2, "b"), (1, "ab"), (4, "ab"), (2, "ab")}
 
 
+def test_range_join_clamps_open_intervals(spark):
+    from predicate_finder_spark.operators.temporal import bucketize_intervals
+
+    fact = spark.createDataFrame([(1, 5.0), (2, 95.0)], "id long, v double")
+    iv = spark.createDataFrame(
+        [("open", 0.0, 1e9), ("out", 2e9, 3e9)], "band string, lo double, hi double"
+    )
+    out = range_join(fact, iv, value_col="v", bucket_width=10.0)
+    got = {(r["id"], r["band"]) for r in out.collect()}
+    assert got == {(1, "open"), (2, "open")}
+    # bucket duplication is bounded by the observed value range, not the
+    # interval's hi=1e9 (which would explode into 10^8 bucket rows)
+    n_buckets = bucketize_intervals(iv, "lo", "hi", 10.0, bounds=(5.0, 95.0)).count()
+    assert n_buckets == 10  # 'open' clips to buckets 0..9; 'out' to none
+
+
 def test_range_join_no_nested_loop(spark):
     fact = spark.range(100).select(F.col("id"), (F.col("id") * 10.0).alias("v"))
     iv = spark.createDataFrame([("x", 0.0, 500.0)], "band string, lo double, hi double")
