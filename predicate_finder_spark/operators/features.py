@@ -28,8 +28,15 @@ from predicate_finder_spark.functions.similarity import jaro_winkler_tokens_udf
 from predicate_finder_spark.functions.text import token_overlap_ratio
 
 
-def build_features(scored: DataFrame, kg_triples: DataFrame) -> DataFrame:
-    """Add the 6 re-ranker feature columns to scored candidates."""
+def build_features(
+    scored: DataFrame, kg_triples: DataFrame, matcher_col: str | None = None
+) -> DataFrame:
+    """Add the 6 re-ranker feature columns to scored candidates.
+
+    ``matcher_col``: column holding the multi-channel matcher output (M1,
+    operators/models.py matcher_forward) to use as f_score — the reference
+    feeds the MGNN score in this slot (utils.py:94-133); default falls back
+    to the baseline IDF x cosine score."""
     support = (
         kg_triples.groupBy(F.col("s").alias("subj"), F.col("o").alias("obj"))
         .agg(F.count(F.lit(1)).alias("f_kg_support"))
@@ -40,7 +47,7 @@ def build_features(scored: DataFrame, kg_triples: DataFrame) -> DataFrame:
         .withColumn("f_prior", F.col("pair_prior"))
         .withColumn("f_overlap", token_overlap_ratio(F.col("rel_tokens"), F.col("pred_tokens")))
         .withColumn("f_jw", jaro_winkler_tokens_udf(F.col("rel_tokens"), F.col("pred_tokens")))
-        .withColumn("f_score", F.col("score"))
+        .withColumn("f_score", F.col(matcher_col) if matcher_col else F.col("score"))
         .withColumn(
             "f_embed_sim",
             F.when(F.col("score") > 0, F.col("score"))  # scorer = cosine x idf

@@ -52,6 +52,114 @@ def _load_model(model_bytes: bytes | None, framework: str):
     return predict, "linear_fallback"
 
 
+# ---------------------------------------------------------------------------
+# M1: multi-channel matcher (numpy forward pass)
+# ---------------------------------------------------------------------------
+# Fixed deterministic fc weights over the 8 channel-pair cosines.  The
+# syntax-forward vs syntax-backward asymmetry (0.30 vs -0.10) is what makes
+# path DIRECTION matter — the reference's BiLSTM learns exactly this kind of
+# asymmetry from its two directional hidden states.
+_MATCHER_W = np.array([0.25, 0.10, 0.30, -0.10, 0.15, 0.05, 0.10, 0.05])
+_MATCHER_B = -0.2
+_MATCHER_GAMMA = 0.7
+
+
+def _directional_means(vs: list, present: list[bool]) -> tuple:
+    """Forward/backward exponentially-weighted means over present token
+    vectors — the two directional summaries a BiLSTM's last hidden states
+    provide (mgnn/mgnn.py:31-60 lstm_process), with masking (mgnn.py:85-95)
+    realized by skipping absent embeddings."""
+    idx = [i for i, p in enumerate(present) if p]
+    if not idx:
+        return None, None
+    n = len(idx)
+    fw = np.zeros_like(vs[idx[0]])
+    bw = np.zeros_like(vs[idx[0]])
+    wf = wb = 0.0
+    for rank, i in enumerate(idx):
+        a = _MATCHER_GAMMA ** (n - 1 - rank)  # last token heaviest
+        b = _MATCHER_GAMMA ** rank            # first token heaviest
+        fw += a * vs[i]
+        bw += b * vs[i]
+        wf += a
+        wb += b
+    return fw / wf, bw / wb
+
+
+def _cos(a, b) -> float:
+    if a is None or b is None:
+        return 0.0
+    na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+    return float(a @ b) / (na * nb + 1e-9)
+
+
+def matcher_forward(
+    emb: dict[str, np.ndarray],
+    query: list[str],
+    syntax: list[str],
+    hier: list[str],
+    rel: list[str],
+) -> float:
+    """Numpy forward pass of the reference's 4-channel matcher
+    (mgnn/mgnn.py:98-125): embed each channel, encode query/syntax
+    direction-sensitively, mean-pool hier/rel, concatenate the channel
+    interactions, fc + sigmoid.  Deterministic fixed weights (torch is not
+    in this sandbox; the channel semantics — not the learned values — are
+    what the engine needs)."""
+
+    def embed(tokens):
+        vs, present = [], []
+        for t in tokens or []:
+            v = emb.get(t.lower())
+            vs.append(v if v is not None else 0)
+            present.append(v is not None)
+        return vs, present
+
+    def mean(tokens):
+        vs, present = embed(tokens)
+        got = [v for v, p in zip(vs, present) if p]
+        return np.mean(got, axis=0) if got else None
+
+    q_f, q_b = _directional_means(*embed(query))
+    s_f, s_b = _directional_means(*embed(syntax))
+    h = mean(hier)
+    r = mean(rel)
+    feats = np.array([
+        _cos(q_f, r), _cos(q_b, r),
+        _cos(s_f, r), _cos(s_b, r),
+        _cos(h, r),
+        _cos(q_f, h), _cos(s_f, h), _cos(q_b, s_b),
+    ])
+    z = float(feats @ _MATCHER_W) + _MATCHER_B
+    return 1.0 / (1.0 + np.exp(-z))
+
+
+def make_matcher_udf(spark: SparkSession, emb: dict[str, np.ndarray]):
+    """M1 as an Arrow-batched pandas UDF over the four channel columns
+    (query tokens, syntax path, hier labels, predicate words).  The
+    embedding dict broadcasts once per executor."""
+    emb_bc = spark.sparkContext.broadcast(emb)
+
+    @F.pandas_udf(T.DoubleType())
+    def matcher_udf(
+        query: pd.Series, syntax: pd.Series, hier: pd.Series, rel: pd.Series
+    ) -> pd.Series:
+        E = emb_bc.value
+        out = [
+            matcher_forward(
+                E,
+                list(q) if q is not None else [],
+                list(s) if s is not None else [],
+                list(h) if h is not None else [],
+                list(r) if r is not None else [],
+            )
+            for q, s, h, r in zip(query, syntax, hier, rel)
+        ]
+        return pd.Series(out, dtype="float64")
+
+    return matcher_udf
+
+
 def make_rerank_udf(
     spark: SparkSession,
     model_bytes: bytes | None = None,

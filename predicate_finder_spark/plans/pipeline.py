@@ -93,14 +93,20 @@ def extract_triples(
     def _linked() -> DataFrame:
         mentions = generate_mentions(sent_df, cfg.max_mention_ngram)
         if cfg.use_lsh_blocking:
+            dic = (
+                aliases.filter(F.col("prior") >= cfg.min_link_prior)
+                if cfg.min_link_prior > 0.0 else aliases
+            )
             linked = lsh_blocked_candidates(
-                mentions, aliases,
+                mentions, dic,
                 shingle_size=cfg.lsh_shingle_size,
                 num_hashes=cfg.lsh_num_hashes,
                 bands=cfg.lsh_bands,
             )
         else:
-            linked = link_mentions(mentions, aliases, min_prior=0.0, broadcast_dict=True)
+            linked = link_mentions(
+                mentions, aliases, min_prior=cfg.min_link_prior, broadcast_dict=True
+            )
         return resolve_mentions(linked)
 
     resolved = stage("linked_mentions", _linked, ["sentences"])
@@ -118,21 +124,48 @@ def extract_triples(
 
     def _triples() -> DataFrame:
         idf_df = idf if idf is not None else build_idf(sent_df)
+        emb_dict = collect_embeddings(embeddings)
         scorer = make_scorer_udf(
             spark,
-            collect_embeddings(embeddings),
-            collect_idf(idf_df),
+            emb_dict,
+            collect_idf(idf_df, min_df=cfg.idf_min_df, max_entries=cfg.max_vocab),
             max_ngram=cfg.max_ngram,
             default_idf=cfg.default_idf,
         )
         scored = score_candidates(cands, scorer)
         if cfg.scorer == "rerank":
-            # 6-feature model re-ranking (reference xgboost path §3.3):
-            # replace the raw score with the broadcast model's prediction
+            # 6-feature model re-ranking (reference xgboost path §3.3).
+            # f_score comes from the M1 multi-channel matcher: query channel
+            # = relation surface tokens, syntax channel = dependency path
+            # across the surface span (mgnn/test.py:139-145), hier channel =
+            # ontology labels (DataExtract.py:66-123), rel channel =
+            # predicate words — all four assembled upstream, scored by the
+            # numpy forward pass in operators/models.py.
             from predicate_finder_spark.operators.features import build_features
-            from predicate_finder_spark.operators.models import make_rerank_udf, rerank
+            from predicate_finder_spark.operators.models import (
+                make_matcher_udf,
+                make_rerank_udf,
+                rerank,
+            )
+            from predicate_finder_spark.operators.syntax import make_syntax_path_udf
 
-            feats = build_features(scored, kg_triples)
+            syn = make_syntax_path_udf()
+            matcher = make_matcher_udf(spark, emb_dict)
+            with_channels = scored.withColumn(
+                "syntax_path",
+                syn(
+                    F.col("rel_tokens"),
+                    F.lit(0),
+                    F.greatest(F.size("rel_tokens") - 1, F.lit(0)),
+                ),
+            ).withColumn(
+                "matcher_score",
+                matcher(
+                    F.col("rel_tokens"), F.col("syntax_path"),
+                    F.col("hier"), F.col("pred_tokens"),
+                ),
+            )
+            feats = build_features(with_channels, kg_triples, matcher_col="matcher_score")
             reranked = rerank(feats, make_rerank_udf(spark)).withColumn(
                 "score", F.col("rerank_score")
             )

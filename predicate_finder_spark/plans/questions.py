@@ -103,6 +103,30 @@ def answer_questions(
     )
 
 
+def question_accuracy_by_template(answers: DataFrame, gold: DataFrame) -> DataFrame:
+    """cal_acc_template semantics (reference xgboost/performance.py:33-67):
+    exact-match (entity AND predicate) accuracy grouped by
+    sparql_template_id.  ``gold`` must carry sparql_template_id (the
+    template-position-aware parse in sources/corpus.py parse_gold does).
+
+    One groupBy shuffle on a 5-value key — trivially scale-safe.
+    """
+    j = answers.join(
+        gold.select(
+            "qid",
+            F.col("entity").alias("g_ent"),
+            F.col("pred").alias("g_pred"),
+            "sparql_template_id",
+        ),
+        "qid",
+    )
+    hit = ((F.col("entity") == F.col("g_ent")) & (F.col("pred") == F.col("g_pred"))).cast("double")
+    return j.groupBy("sparql_template_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(hit), 6).alias("exact_acc"),
+    )
+
+
 def question_accuracy(answers: DataFrame, gold: DataFrame) -> dict[str, float]:
     """cal_acc semantics (performance.py:5-30): exact match on entity AND
     predicate; also the per-component accuracies the reference prints."""

@@ -50,6 +50,34 @@ def extract_gold_uris(questions: DataFrame) -> DataFrame:
     )
 
 
+def parse_gold(questions: DataFrame) -> DataFrame:
+    """Template-position-aware gold parse (reference QueryFilter.py:56-86
+    dispatched at :252-258): templates 1/101 put the PREDICATE URI first in
+    the SPARQL text and the entity second (get_for_1_101, :69-80); templates
+    2/151/152 the entity first, predicate second (get_for_2 :56-66,
+    get_for_151_152 :83-93).
+
+    Output mirrors get_stand_ans_for_test (:239-267): entity = URI local
+    name, entity_surface = its first underscore segment (:58), pred = the
+    predicate URI local name.
+    """
+    g = extract_gold_uris(questions)
+    ent_first = F.col("sparql_template_id").isin(2, 151, 152)
+    ent_uri = F.when(ent_first, F.col("uri1")).otherwise(F.col("uri2"))
+    pred_uri = F.when(ent_first, F.col("uri2")).otherwise(F.col("uri1"))
+    standard_ent = F.substring_index(ent_uri, "/", -1)
+    return g.select(
+        "_id",
+        "corrected_question",
+        "sparql_template_id",
+        ent_uri.alias("entity_uri"),
+        standard_ent.alias("entity"),
+        F.substring_index(standard_ent, "_", 1).alias("entity_surface"),
+        pred_uri.alias("pred_uri"),
+        F.substring_index(pred_uri, "/", -1).alias("pred"),
+    )
+
+
 def read_tsv(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
     """S2: TSV scan with explicit schema (reference csv.reader(delimiter='\\t'))."""
     return spark.read.schema(schema).option("sep", "\t").csv(path)

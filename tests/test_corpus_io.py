@@ -6,6 +6,7 @@ import json
 
 from predicate_finder_spark.sources.corpus import (
     extract_gold_uris,
+    parse_gold,
     read_question_corpus,
     read_tsv,
     write_tsv,
@@ -40,6 +41,32 @@ def test_uri_extraction(spark, tmp_path):
     got = extract_gold_uris(read_question_corpus(spark, p)).first()
     assert got["uri1"] == "http://x/resource/Ent"
     assert got["uri2"] == "http://x/ontology/pred"
+
+
+def test_parse_gold_template_positions(spark, tmp_path):
+    # templates 1/101: predicate URI first, entity second; 2/151/152: entity
+    # first (reference QueryFilter.py get_for_1_101 vs get_for_2/151_152)
+    items = [
+        {"_id": "a", "corrected_question": "q101",
+         "sparql_query": "SELECT ?uri WHERE { ?x <http://x/ontology/author> <http://x/resource/Book_A> }",
+         "sparql_template_id": 101},
+        {"_id": "b", "corrected_question": "q151",
+         "sparql_query": "SELECT ?uri WHERE { <http://x/resource/Book_A> <http://x/ontology/author> ?uri }",
+         "sparql_template_id": 151},
+        {"_id": "c", "corrected_question": "q2",
+         "sparql_query": "SELECT ?uri WHERE { <http://x/resource/City_B> <http://x/ontology/mayor> ?uri }",
+         "sparql_template_id": 2},
+    ]
+    p = str(tmp_path / "corpus.json")
+    with open(p, "w") as f:
+        json.dump(items, f)
+    got = {r["_id"]: r for r in parse_gold(read_question_corpus(spark, p)).collect()}
+    # 101: URIs appear (pred, ent) in the text but gold must still be
+    # (entity=Book_A, pred=author) — position chosen per template id
+    assert got["a"]["entity"] == "Book_A" and got["a"]["pred"] == "author"
+    assert got["b"]["entity"] == "Book_A" and got["b"]["pred"] == "author"
+    assert got["c"]["entity"] == "City_B" and got["c"]["pred"] == "mayor"
+    assert got["a"]["entity_surface"] == "Book"  # first underscore segment
 
 
 def test_tsv_roundtrip(spark, tmp_path, corpus):

@@ -5,7 +5,11 @@ from __future__ import annotations
 
 import pytest
 
-from predicate_finder_spark.plans.questions import answer_questions, question_accuracy
+from predicate_finder_spark.plans.questions import (
+    answer_questions,
+    question_accuracy,
+    question_accuracy_by_template,
+)
 from predicate_finder_spark.synth import synth_question_set
 
 
@@ -27,6 +31,22 @@ def test_question_pipeline_accuracy(spark, qset):
     # near-perfect — this pins the pipeline mechanics, not model quality
     assert acc["entity_acc"] >= 0.95, acc
     assert acc["exact"] >= 0.9, acc
+
+
+def test_per_template_accuracy(spark):
+    answers = spark.createDataFrame(
+        [("q1", "E1", "u1", "p1", 1.0),
+         ("q2", "E2", "u2", "WRONG", 1.0),
+         ("q3", "E3", "u3", "p3", 1.0)],
+        "qid string, entity string, pred_uri string, pred string, score double",
+    )
+    gold = spark.createDataFrame(
+        [("q1", "E1", "p1", 1), ("q2", "E2", "p2", 1), ("q3", "E3", "p3", 151)],
+        "qid string, entity string, pred string, sparql_template_id int",
+    )
+    got = {r["sparql_template_id"]: (r["n"], r["exact_acc"])
+           for r in question_accuracy_by_template(answers, gold).collect()}
+    assert got == {1: (2, 0.5), 151: (1, 1.0)}
 
 
 def test_question_pipeline_deterministic(spark, qset):
