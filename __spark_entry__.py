@@ -400,7 +400,13 @@ def q34_minhash_sig(spark, sf):
 
 def q35_sessionize(spark, sf):
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # microsecond-exact gap: timestamp->double keeps sub-second precision
+    # like DuckDB's epoch(); unix_timestamp truncates to whole seconds and
+    # would diverge for gaps within 1 s of the 1800 s session boundary.
+    # (NTZ needs the intermediate timestamp cast; the tz offset cancels in
+    # the difference.)
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_sec - F.lag(ts_sec).over(w)
     return (
         _t(spark, sf, "events")
         .withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
@@ -467,8 +473,9 @@ def q42_jaccard_pairs(spark, sf):
 
 
 def q43_simhash(spark, sf):
-    """SimHash signatures (rows-only: Spark-side exact bit arithmetic has no
-    concise DuckDB twin; behavior is pinned by tests/test_hashing.py)."""
+    """SimHash signatures — exact 60-bit integer construction, mirrored
+    bit-for-bit by the DuckDB oracle (hex-fold of md5 + `//`/`<<` integer
+    arithmetic)."""
     from predicate_finder_spark.functions.hashing import simhash64
 
     return _t(spark, sf, "documents").select(
@@ -551,6 +558,52 @@ def q45_centroids(spark, sf):
     )
 
 
+def q49_camel_split(spark, sf):
+    """C2 camelCase split round-trip: camelize p_name's words (initcap +
+    concat), split back with camel_split, one row per word."""
+    from predicate_finder_spark.functions.text import camel_split
+
+    camel = F.concat_ws("", F.transform(F.split("p_name", " "), F.initcap))
+    return _t(spark, sf, "part").select(
+        "p_partkey", F.posexplode(camel_split(camel)).alias("pos", "word")
+    )
+
+
+def q50_ngrams(spark, sf):
+    """C3 contiguous n-grams (space-joined bigrams) of document tokens."""
+    from predicate_finder_spark.functions.text import ngram_texts
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.posexplode(ngram_texts(_tokens(F.col("text")), 2)).alias("pos", "gram")
+    )
+
+
+def q51_wh_word(spark, sf):
+    """C5 wh-word detection: last wh-word in the token list, falling back to
+    the first token."""
+    from predicate_finder_spark.functions.text import wh_word
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", wh_word(_tokens(F.col("text"))).alias("wh")
+    )
+
+
+def q52_jaro_winkler(spark, sf):
+    """C7 Jaro-Winkler (pandas UDF) vs DuckDB's native
+    jaro_winkler_similarity — canonical 0.7 boost threshold on both sides."""
+    from predicate_finder_spark.functions.similarity import jaro_winkler_udf
+
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.round(
+            jaro_winkler_udf(F.col("c_name"), F.lit("Customer#000000042")), 6
+        ).alias("jw"),
+        F.round(jaro_winkler_udf(F.lower("c_name"), F.col("c_mktsegment")), 6).alias(
+            "jw_seg"
+        ),
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -614,6 +667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_asof_join": q46_asof_join,
         "q47_range_join": q47_range_join,
         "q48_quantiles": q48_quantiles,
+        "q49_camel_split": q49_camel_split,
+        "q50_ngrams": q50_ngrams,
+        "q51_wh_word": q51_wh_word,
+        "q52_jaro_winkler": q52_jaro_winkler,
     }
 
 
@@ -822,7 +879,7 @@ def oracle_sql() -> dict[str, str]:
           FROM events
         )
         SELECT user_id,
-               sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) + 1 AS n_sessions,
+               (sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) + 1)::BIGINT AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id
     """
@@ -833,11 +890,11 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["q37_pivot"] = """
         SELECT user_id,
-               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup
         FROM events GROUP BY user_id
     """
     _langs = {lang: "('" + "','".join(LANG_PROFILES[lang]) + "')" for lang in ("en", "de", "fr")}
@@ -886,10 +943,17 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes nb ON nb.doc_id = id_b
         WHERE n_inter / (na.n + nb.n - n_inter) >= 1e-9
     """
+    # dim bound derived from the data (not a hardcoded 64): per-row
+    # unnest(range(..len(embedding))) mirrors Spark's posexplode exactly
     sqls["q45_centroids"] = """
-        SELECT label, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS centroid
-        FROM embeddings, range(1, 65) t(i)
-        GROUP BY label, i
+        SELECT label, dim, round(avg(val::DOUBLE), 6) AS centroid
+        FROM (
+          SELECT label,
+                 unnest(range(0, len(embedding))) AS dim,
+                 unnest(embedding) AS val
+          FROM embeddings
+        )
+        GROUP BY label, dim
     """
     sqls["q46_asof_join"] = """
         SELECT e.event_id, e.user_id, o.o_orderkey
@@ -915,7 +979,80 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.75), 4) AS p75
         FROM events GROUP BY event_type
     """
-    # q40_kg_pipeline, q43_simhash, q44_syntax_path: pandas-UDF / bit-level
-    # kernels — intentionally no oracle (driver records rows-only; semantics
-    # pinned by unit tests instead)
+    # q43: exact mirror of functions/hashing.py simhash64 — per-token 60-bit
+    # hash from the first 15 hex chars of md5 (hex-fold via strpos), bit b
+    # extracted with BIGINT `//`+`%` (exact), sign-summed, recomposed with <<
+    sqls["q43_simhash"] = f"""
+        WITH tok AS (
+          SELECT doc_id, {_TOK} AS ts FROM documents
+        ), h AS (
+          SELECT doc_id,
+                 list_transform(ts, t -> list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(range(1, 16),
+                       i -> (strpos('0123456789abcdef', md5(t)[i]) - 1)::BIGINT)),
+                   (a, b) -> a * 16 + b)) AS hs
+          FROM tok
+        )
+        SELECT doc_id,
+               coalesce(list_sum(list_transform(range(0, 60), b ->
+                 CASE WHEN coalesce(list_sum(list_transform(hs,
+                        h -> CASE WHEN (h // (1::BIGINT << b)) % 2 = 1
+                             THEN 1 ELSE -1 END)), 0) > 0
+                      THEN (1::BIGINT << b) ELSE 0 END)), 0)::BIGINT AS sig
+        FROM h
+    """
+    sqls["q49_camel_split"] = r"""
+        WITH c AS (
+          SELECT p_partkey,
+                 list_aggregate(
+                   list_transform(string_split(p_name, ' '),
+                                  x -> upper(x[1]) || x[2:]),
+                   'string_agg', '') AS camel
+          FROM part
+        ), s AS (
+          SELECT p_partkey,
+                 list_filter(
+                   string_split_regex(
+                     lower(trim(regexp_replace(camel, '([A-Z])', ' \1', 'g'))),
+                     '[\s_]+'),
+                   x -> x <> '') AS w
+          FROM c
+        )
+        SELECT p_partkey,
+               unnest(range(0, len(w)))::INT AS pos,
+               unnest(w) AS word
+        FROM s
+    """
+    sqls["q50_ngrams"] = f"""
+        WITH tok AS (
+          SELECT doc_id, {_TOK} AS ts FROM documents
+        )
+        SELECT doc_id,
+               unnest(range(0, greatest(len(ts) - 1, 0)))::INT AS pos,
+               unnest(CASE WHEN len(ts) >= 2
+                      THEN list_transform(range(0, len(ts) - 1),
+                           i -> ts[i + 1] || ' ' || ts[i + 2])
+                      ELSE []::VARCHAR[] END) AS gram
+        FROM tok
+    """
+    _WH_SQL = "('what','which','who','whom','whose','where','when','how')"
+    sqls["q51_wh_word"] = f"""
+        WITH lt AS (
+          SELECT doc_id, list_transform({_TOK}, x -> lower(x)) AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               coalesce(list_filter(toks, x -> x IN {_WH_SQL})[-1], toks[1]) AS wh
+        FROM lt
+    """
+    sqls["q52_jaro_winkler"] = """
+        SELECT c_custkey,
+               round(jaro_winkler_similarity(c_name, 'Customer#000000042'), 6) AS jw,
+               round(jaro_winkler_similarity(lower(c_name), c_mktsegment), 6) AS jw_seg
+        FROM customer
+    """
+    # q40_kg_pipeline, q44_syntax_path: pandas-UDF kernels (scorer / parser)
+    # — intentionally no oracle (driver records rows-only; semantics pinned
+    # by unit tests instead)
     return sqls
