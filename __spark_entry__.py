@@ -190,13 +190,16 @@ def q11_salted_join(spark, sf):
 
 
 def q12_idf(spark, sf):
+    # N folded into the plan (broadcast 1-row agg + cross join): a separate
+    # d.count() would scan the corpus twice
     d = _t(spark, sf, "documents")
-    n_docs = d.count()
+    n = d.agg(F.countDistinct("doc_id").alias("__n"))
     words = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word")).distinct()
     return (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("df"))
-        .select("word", "df", F.round(F.log2(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"))
+        .crossJoin(F.broadcast(n))
+        .select("word", "df", F.round(F.log2(F.col("__n") / F.col("df")), 6).alias("idf"))
     )
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-FEATURE_COLS = ["f_prior", "f_kg_support", "f_embed_sim", "f_overlap", "f_jw", "f_score"]
+FEATURE_COLS = ["f_prior", "f_answer_sim", "f_embed_sim", "f_overlap", "f_jw", "f_score"]
 
 # deterministic stand-in weights: rank mostly by matcher score + overlap
 _FALLBACK_W = np.array([0.05, 0.02, 0.1, 0.3, 0.03, 0.5])

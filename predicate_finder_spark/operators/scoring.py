@@ -27,12 +27,17 @@ def build_idf(sent_df: DataFrame) -> DataFrame:
 
     Classic two-phase hash aggregation — Spark does partial (map-side)
     aggregation of the (url, word) dedup and the per-word counts
-    automatically; no driver loops.
+    automatically; no driver loops.  N_docs is folded into the plan as a
+    broadcast 1-row cross join instead of a separate ``.count()`` — a
+    separate count would scan the (100 TB) corpus twice.
     """
     docs = sent_df.select("url", F.explode(F.transform("tokens", F.lower)).alias("word")).distinct()
-    n_docs = sent_df.select("url").distinct().count()
-    return docs.groupBy("word").agg(F.count(F.lit(1)).alias("df")).select(
-        "word", "df", F.log2(F.lit(float(n_docs)) / F.col("df")).alias("idf")
+    n = sent_df.agg(F.countDistinct("url").alias("__n_docs"))
+    return (
+        docs.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select("word", "df", F.log2(F.col("__n_docs") / F.col("df")).alias("idf"))
     )
 
 

@@ -75,9 +75,12 @@ def extract_triples(
     ch = cfg.config_hash()
     cp = cfg.checkpoint_dir
 
-    def stage(name: str, fn, inputs: list[str] | None = None) -> DataFrame:
+    def stage(name: str, fn, inputs: list[str] | None = None, input_dfs=None) -> DataFrame:
         path = os.path.join(cp, name) if cp else None
-        out = checkpoint_stage(spark, fn, path, name, ch, resume=cfg.resume, inputs=inputs)
+        out = checkpoint_stage(
+            spark, fn, path, name, ch, resume=cfg.resume, inputs=inputs,
+            input_dfs=input_dfs,
+        )
         if cp is None and name in ("sentences", "linked_mentions", "candidates"):
             # no checkpoint tables to re-read from: persist the stages that
             # are consumed by more than one downstream branch, else the
@@ -85,7 +88,11 @@ def extract_triples(
             out = out.persist()
         return out
 
-    extracted = stage("extracted_pages", lambda: extract_pages(pages), ["pages"])
+    # the raw pages frame is fingerprinted (source files + sizes/mtimes) so a
+    # new snapshot at the same path invalidates the whole chain
+    extracted = stage(
+        "extracted_pages", lambda: extract_pages(pages), ["pages"], input_dfs=[pages]
+    )
     sent_df = stage(
         "sentences", lambda: explode_sentences(extracted, cfg.languages), ["extracted_pages"]
     )
@@ -141,7 +148,10 @@ def extract_triples(
             # ontology labels (DataExtract.py:66-123), rel channel =
             # predicate words — all four assembled upstream, scored by the
             # numpy forward pass in operators/models.py.
-            from predicate_finder_spark.operators.features import build_features
+            from predicate_finder_spark.operators.features import (
+                build_features,
+                make_answer_sim_udf,
+            )
             from predicate_finder_spark.operators.models import (
                 make_matcher_udf,
                 make_rerank_udf,
@@ -165,7 +175,11 @@ def extract_triples(
                     F.col("hier"), F.col("pred_tokens"),
                 ),
             )
-            feats = build_features(with_channels, kg_triples, matcher_col="matcher_score")
+            feats = build_features(
+                with_channels, kg_triples,
+                matcher_col="matcher_score",
+                answer_sim_udf=make_answer_sim_udf(spark, emb_dict),
+            )
             reranked = rerank(feats, make_rerank_udf(spark)).withColumn(
                 "score", F.col("rerank_score")
             )

@@ -14,10 +14,12 @@ north_rule requirements implemented here:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
 import time
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,9 +39,61 @@ def read_manifest(path: str) -> dict | None:
         return json.load(f)
 
 
-def stage_complete(path: str, stage: str, config_hash: str) -> bool:
+def stage_complete(
+    path: str, stage: str, config_hash: str, input_fp: str | None = None
+) -> bool:
+    """A stage is reusable when (name, config hash, input fingerprint) all
+    match — same config over DIFFERENT input data must not silently reuse
+    stale tables.  Manifests written before fingerprints existed lack the
+    key and therefore recompute once."""
     m = read_manifest(path)
-    return bool(m and m.get("stage") == stage and m.get("config_hash") == config_hash)
+    ok = bool(m and m.get("stage") == stage and m.get("config_hash") == config_hash)
+    if ok and input_fp is not None:
+        ok = m.get("input_fingerprint") == input_fp
+    return ok
+
+
+def dataframe_fingerprint(df: DataFrame) -> str:
+    """Cheap content fingerprint of a file-backed DataFrame: the sorted
+    source-file list with size+mtime (driver-side listing, no job).  A new
+    snapshot written to the same path changes part-file names/sizes, so the
+    fingerprint changes.  In-memory DataFrames fall back to their schema
+    (weak, documented)."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:  # pragma: no cover - defensive
+        files = []
+    parts = []
+    for f in files:
+        p = urlparse(f).path or f
+        try:
+            st = os.stat(p)
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f)
+    if not parts:
+        parts = [df.schema.json()]
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+def input_fingerprint(
+    base_dir: str, inputs: list[str] | None, input_dfs: list[DataFrame] | None = None
+) -> str:
+    """Combined fingerprint of a stage's inputs: upstream stage manifests
+    (rows + committed_at + config hash) for named inputs, plus source-file
+    fingerprints for raw DataFrame inputs (the pipeline's first stage)."""
+    parts = []
+    for name in sorted(inputs or []):
+        m = read_manifest(os.path.join(base_dir, name))
+        if m:
+            parts.append(
+                f"{name}:{m.get('rows')}:{m.get('committed_at')}:{m.get('config_hash')}"
+            )
+        else:
+            parts.append(f"{name}:-")
+    for df in input_dfs or []:
+        parts.append(dataframe_fingerprint(df))
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
 def write_stage(
@@ -49,6 +103,7 @@ def write_stage(
     config_hash: str,
     inputs: list[str] | None = None,
     partition_by: list[str] | None = None,
+    input_fp: str | None = None,
 ) -> dict:
     """Write ``df`` as a stage table with atomic commit + lineage manifest.
 
@@ -90,6 +145,7 @@ def write_stage(
         "n_files": len(partitions),
         "partitions": partitions,
         "inputs": inputs or [],
+        "input_fingerprint": input_fp,
     }
     with open(os.path.join(tmp, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
@@ -111,17 +167,22 @@ def checkpoint_stage(
     config_hash: str,
     resume: bool = True,
     inputs: list[str] | None = None,
+    input_dfs: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Materialize-or-reuse: if ``path`` is set and a matching manifest
-    exists, read the table (stage skipped); else compute, commit, re-read.
+    (stage, config hash, input fingerprint) exists, read the table (stage
+    skipped); else compute, commit, re-read.
 
     ``df_fn`` is a thunk so skipped stages never even build their plan.
+    ``input_dfs``: raw DataFrame inputs (not stage names) to fingerprint —
+    pass the source frames for stages that read external data.
     """
     if path is None:
         return df_fn()
-    if resume and stage_complete(path, stage, config_hash):
+    fp = input_fingerprint(os.path.dirname(path), inputs, input_dfs)
+    if resume and stage_complete(path, stage, config_hash, fp):
         return read_stage(spark, path)
-    write_stage(df_fn(), path, stage, config_hash, inputs=inputs)
+    write_stage(df_fn(), path, stage, config_hash, inputs=inputs, input_fp=fp)
     return read_stage(spark, path)
 
 

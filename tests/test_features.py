@@ -41,6 +41,34 @@ def test_build_features(spark, cands):
     assert 0.0 <= row["f_jw"] <= 1.0
 
 
+def test_answer_sim_feature(spark, cands):
+    # C10 (reference utils.py:57-91): the rewritten query's execution is a
+    # KG join; the first answer's '_'-split tokens are cosined (sum-pooled)
+    # against the question tokens
+    import numpy as np
+
+    from predicate_finder_spark.operators.features import make_answer_sim_udf
+
+    kg = spark.createDataFrame(
+        [("A", "p://x/birthPlace", "Paris_City"), ("A", "p://x/deathPlace", "Zed")],
+        "s string, p string, o string",
+    )
+    c = cands.withColumn("pred_uri", F.concat(F.lit("p://x/"), F.col("pred")))
+    emb = {
+        "has": np.array([0.1, 0.1]),
+        "birth": np.array([1.0, 0.0]),
+        "place": np.array([0.0, 1.0]),
+        "paris": np.array([0.6, 0.8]),
+        "city": np.array([0.6, 0.8]),
+        "zed": np.array([-1.0, 0.0]),
+    }
+    out = build_features(c, kg, answer_sim_udf=make_answer_sim_udf(spark, emb))
+    rows = {r["pred"]: r["f_answer_sim"] for r in out.collect()}
+    assert rows["birthPlace"] > 0.9              # Paris_City aligns with the question
+    assert rows["deathPlace"] < 0.0              # Zed points away
+    assert rows["teamSport"] == 0.0              # no KG answer -> 0
+
+
 def test_negative_sample(spark, cands):
     gold = spark.createDataFrame(
         [("u1", "A", "birthPlace", "B")], "url string, subj string, pred string, obj string"

@@ -46,3 +46,33 @@ def test_checkpoint_resume_idempotent(spark, corpus, tmp_path):
     # rerun resumes from completed stages and yields the identical table
     t2 = sorted(map(tuple, _run(spark, corpus, cfg).select("url", "subj", "pred", "obj").collect()))
     assert t1 == t2
+
+
+def test_checkpoint_invalidates_on_input_change(spark, tmp_path):
+    # same stage name + config hash, DIFFERENT input data -> recompute
+    # (manifests record an input fingerprint: upstream manifest stats for
+    # named stages, source-file listing for raw frames)
+    from predicate_finder_spark.sources.tables import checkpoint_stage
+
+    src = str(tmp_path / "src")
+    spark.range(5).write.parquet(src)
+    calls = []
+
+    def fn():
+        calls.append(1)
+        return spark.read.parquet(src)
+
+    p = str(tmp_path / "ckpt" / "stage1")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    for _ in range(2):
+        out = checkpoint_stage(
+            spark, fn, p, "stage1", "cfg",
+            input_dfs=[spark.read.parquet(src)],
+        )
+    assert len(calls) == 1 and out.count() == 5  # second run resumed
+
+    spark.range(9).write.mode("overwrite").parquet(src)  # new snapshot, same path
+    out = checkpoint_stage(
+        spark, fn, p, "stage1", "cfg", input_dfs=[spark.read.parquet(src)]
+    )
+    assert len(calls) == 2 and out.count() == 9  # stale table NOT reused
