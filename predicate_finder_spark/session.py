@@ -43,7 +43,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow transfer for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bigger Arrow batches amortize per-batch UDF overhead and feed the
+        # vectorized scorer larger matvecs / better per-batch cache hits
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         # Deterministic timestamps; DuckDB compares in UTC-naive.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -104,6 +104,7 @@ def write_stage(
     inputs: list[str] | None = None,
     partition_by: list[str] | None = None,
     input_fp: str | None = None,
+    metrics: dict | None = None,
 ) -> dict:
     """Write ``df`` as a stage table with atomic commit + lineage manifest.
 
@@ -146,6 +147,7 @@ def write_stage(
         "partitions": partitions,
         "inputs": inputs or [],
         "input_fingerprint": input_fp,
+        "metrics": metrics or {},
     }
     with open(os.path.join(tmp, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
@@ -157,6 +159,29 @@ def write_stage(
 
 def read_stage(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table for repeat-join workloads.
+
+    Both sides of a join bucketed on the same key with the same bucket
+    count are co-located: SortMergeJoin reads matching buckets directly and
+    the physical plan has NO Exchange on either side (guarded by
+    tests/test_scale_paths.py).  For a dimension/fact pair joined in every
+    pipeline run, the one-time bucketed write amortizes away every later
+    shuffle — the classic 100 TB repeat-join play (hive-style bucketing,
+    the parquet twin of Iceberg's bucket partition transform).
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
 
 
 def checkpoint_stage(
@@ -182,7 +207,21 @@ def checkpoint_stage(
     fp = input_fingerprint(os.path.dirname(path), inputs, input_dfs)
     if resume and stage_complete(path, stage, config_hash, fp):
         return read_stage(spark, path)
-    write_stage(df_fn(), path, stage, config_hash, inputs=inputs, input_fp=fp)
+    t0 = time.time()
+    df = df_fn()
+    plan_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    write_stage(
+        df, path, stage, config_hash, inputs=inputs, input_fp=fp,
+        metrics={"plan_sec": plan_sec, "write_sec": None},  # patched below
+    )
+    # record the measured write wall in the committed manifest (metrics are
+    # advisory; the atomic rename already happened)
+    m = read_manifest(path)
+    if m is not None:
+        m["metrics"]["write_sec"] = round(time.time() - t0, 3)
+        with open(manifest_path(path), "w") as f:
+            json.dump(m, f, indent=2, sort_keys=True)
     return read_stage(spark, path)
 
 

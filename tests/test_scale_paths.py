@@ -72,3 +72,29 @@ def test_rows_only_queries_run(spark):
     assert q["q43_simhash"](spark, sf).count() > 0
     p = q["q44_syntax_path"](spark, sf)
     assert p.count() > 0 and set(p.columns) == {"doc_id", "path"}
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    # two tables bucketed on the join key with equal bucket counts join via
+    # SortMergeJoin over co-located buckets: NO Exchange on either side
+    from predicate_finder_spark.sources.tables import write_bucketed_table
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.range(10_000).select(
+            (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(500).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+        )
+        write_bucketed_table(fact, "bt_fact", ["k"], n_buckets=8, sort_cols=["k"])
+        write_bucketed_table(dim, "bt_dim", ["k"], n_buckets=8, sort_cols=["k"])
+        joined = spark.table("bt_fact").join(spark.table("bt_dim"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bt_fact")
+        spark.sql("DROP TABLE IF EXISTS bt_dim")
