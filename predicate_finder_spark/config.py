@@ -46,9 +46,13 @@ class PipelineConfig:
     # score with default_idf, exactly like OOV).  None/1 = unbounded.
     idf_min_df: int = 1
     max_vocab: int | None = None
-    # skew handling
+    # skew handling: AQE's runtime skew-join split is the always-on
+    # backstop; explicit salting (2.25x on the Zipf skew bench,
+    # BENCH/skew.py) is opt-in for known-pathological head keys because it
+    # multiplies the build-side shuffle by salt_buckets — on a
+    # well-distributed corpus that is pure overhead on the hot KG join
     salt_buckets: int = 8
-    salted_join: bool = True
+    salted_join: bool = False
     # language filter (reference DataExtract.py:76: FILTER(lang(?label)='en'))
     languages: tuple[str, ...] = ("en",)
     # orchestration

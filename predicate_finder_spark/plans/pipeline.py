@@ -81,10 +81,16 @@ def extract_triples(
             spark, fn, path, name, ch, resume=cfg.resume, inputs=inputs,
             input_dfs=input_dfs,
         )
-        if cp is None and name in ("sentences", "linked_mentions", "candidates"):
-            # no checkpoint tables to re-read from: persist the stages that
-            # are consumed by more than one downstream branch, else the
-            # pandas-UDF extraction would re-execute once per consumer
+        if cp is None and name == "sentences":
+            # no checkpoint tables to re-read from: persist ONLY the stage
+            # consumed by more than one downstream branch (sentences feeds
+            # mentions + pair_mentions + IDF), else the pandas-UDF
+            # extraction would re-execute once per consumer.  linked and
+            # candidates each have exactly one consumer — persisting them
+            # would materialize millions of array-heavy rows into cache for
+            # zero reuse (measured: the candidates cache write dominated the
+            # flagship's JVM CPU at 1.2M pages) and would stop Spark fusing
+            # candidate generation into the scoring stage.
             out = out.persist()
         return out
 
