@@ -130,21 +130,23 @@ def make_scorer_udf(
                 pred_cache[key] = got
             return got
 
-        out = np.zeros(len(rel_tokens), dtype=np.float64)
-        for i, (rel, pw_raw) in enumerate(zip(rel_tokens, pred_tokens)):
-            pv, pn, widf = pred_stats(pw_raw)
-            if pv is None:
-                continue
-            rel = [t.lower() for t in (list(rel) if rel is not None else [])]
+        gram_cache: dict[tuple, tuple] = {}
+
+        def gram_matrix(rel_raw) -> tuple:
+            """(G, row_norms) of all n-gram mean vectors for one relation
+            span — cached per distinct span: every candidate predicate of a
+            pair shares the span, so G is built once per pair, not once per
+            candidate row.  Windowed sums accumulate left-to-right like
+            np.mean; OOV tokens contribute zero to the sum / nothing to the
+            count — identical arithmetic to the scalar formulation."""
+            key = tuple(rel_raw) if rel_raw is not None else ()
+            got = gram_cache.get(key)
+            if got is not None:
+                return got
+            rel = [t.lower() for t in key]
             n = len(rel)
-            best = 0.0
+            G = None
             if n:
-                # all n-gram mean vectors as ONE matrix, scored with ONE
-                # matvec against the predicate vector (the old per-gram
-                # python loop was the hot kernel's bottleneck).  Windowed
-                # sums accumulate left-to-right like np.mean, and OOV
-                # tokens contribute zero to the sum / nothing to the count
-                # — identical arithmetic to the scalar formulation.
                 V = np.zeros((n, dim), dtype=np.float64)
                 m = np.zeros(n, dtype=np.float64)
                 for j, t in enumerate(rel):
@@ -164,8 +166,21 @@ def make_scorer_udf(
                         grams.append(sums[valid] / counts[valid, None])
                 if grams:
                     G = np.vstack(grams)
-                    sims = (G @ pv) / (np.linalg.norm(G, axis=1) * pn + 1e-9)
-                    best = max(0.0, float(sims.max()))
+            got = (G, np.linalg.norm(G, axis=1) if G is not None else None)
+            gram_cache[key] = got
+            return got
+
+        out = np.zeros(len(rel_tokens), dtype=np.float64)
+        for i, (rel, pw_raw) in enumerate(zip(rel_tokens, pred_tokens)):
+            pv, pn, widf = pred_stats(pw_raw)
+            if pv is None:
+                continue
+            G, gn = gram_matrix(rel)
+            best = 0.0
+            if G is not None:
+                # ONE matvec per row against the cached gram matrix
+                sims = (G @ pv) / (gn * pn + 1e-9)
+                best = max(0.0, float(sims.max()))
             # max-IDF of predicate words, default 2.0 (baseline.py:133-138)
             out[i] = best * widf
         return pd.Series(out)
