@@ -612,6 +612,32 @@ def q52_jaro_winkler(spark, sf):
     )
 
 
+def q53_quality(spark, sf):
+    """Document quality score — one codegen'd expression (length, alpha
+    ratio, stopword ratio, mean-word-length sanity)."""
+    from predicate_finder_spark.functions.analysis import quality_score
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def q54_embed_neardup(spark, sf):
+    """Embedding near-dup pairs via deterministic random-hyperplane LSH
+    blocking + exact cosine verify (md5-derived planes are bit-identical in
+    DuckDB, so the whole blocked join is oracled)."""
+    from predicate_finder_spark.operators.dedup import embedding_cosine_pairs
+
+    # the synthetic embeddings hold no true near-dups (max blocked-pair
+    # cosine ~0.48), so the threshold is set low to give the verify stage a
+    # non-trivial result set at every sf
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = embedding_cosine_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.3, n_planes=6
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -679,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_ngrams": q50_ngrams,
         "q51_wh_word": q51_wh_word,
         "q52_jaro_winkler": q52_jaro_winkler,
+        "q53_quality": q53_quality,
+        "q54_embed_neardup": q54_embed_neardup,
     }
 
 
@@ -1059,6 +1087,62 @@ def oracle_sql() -> dict[str, str]:
                round(jaro_winkler_similarity(c_name, 'Customer#000000042'), 6) AS jw,
                round(jaro_winkler_similarity(lower(c_name), c_mktsegment), 6) AS jw_seg
         FROM customer
+    """
+    from predicate_finder_spark.functions.analysis import ENGLISH_STOPWORDS
+
+    _estop = "('" + "','".join(ENGLISH_STOPWORDS) + "')"
+    sqls["q53_quality"] = f"""
+        WITH t AS (
+          SELECT doc_id, list_transform({_TOK}, x -> lower(x)) AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 len(toks) AS n,
+                 len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS alpha,
+                 len(list_filter(toks, x -> x IN {_estop})) AS stop,
+                 CASE WHEN len(toks) > 0
+                      THEN list_sum(list_transform(toks, x -> len(x))) / len(toks)::DOUBLE
+                      ELSE 0.0 END AS mean_len
+          FROM t
+        )
+        SELECT doc_id,
+               round((least(n / 100.0, 1.0)
+                      + CASE WHEN n > 0 THEN alpha / n::DOUBLE ELSE 0.0 END
+                      + least((CASE WHEN n > 0 THEN stop / n::DOUBLE ELSE 0.0 END) * 4.0, 1.0)
+                      + CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.5 END
+                     ) / 4.0, 6) AS quality
+        FROM s
+    """
+    # q54: md5-derived hyperplanes are reproduced exactly (hex-fold of the
+    # first 8 md5 chars / 2^32 - 0.5); block key = sign pattern of the 6
+    # plane dots; cosine verify mirrors the engine's +1e-9-guarded formula
+    # so filter boundary and rounded values are identical
+    _hex8 = (
+        "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 9), "
+        "i -> (strpos('0123456789abcdef', md5({s})[i]) - 1)::BIGINT)), "
+        "(x, y) -> x * 16 + y)"
+    )
+    _plane = _hex8.format(s="'plane' || p || 'dim' || (d - 1)")
+    sqls["q54_embed_neardup"] = f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 500
+        ), keys AS (
+          SELECT vec_id, v,
+                 list_aggregate(list_transform(range(0, 6), p ->
+                   CASE WHEN coalesce(list_sum(list_transform(range(1, len(v) + 1), d ->
+                          v[d] * ({_plane} / 4294967296.0 - 0.5))), 0.0) >= 0
+                        THEN '1' ELSE '0' END), 'string_agg', '') AS bk
+          FROM e
+        ), pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_sum(list_transform(range(1, len(a.v) + 1), d -> a.v[d] * b.v[d]))
+                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.v, x -> x * x))) + 1e-9) AS cos
+          FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(cos, 6) AS cosine
+        FROM pairs WHERE cos >= 0.3
     """
     # q44: the heuristic parse + LCA walk is a pure deterministic function
     # of the tokens; expected (md5(text) -> path) pairs for the driver
