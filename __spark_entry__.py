@@ -623,9 +623,10 @@ def q53_quality(spark, sf):
 
 
 def q54_embed_neardup(spark, sf):
-    """Embedding near-dup pairs via deterministic random-hyperplane LSH
-    blocking + exact cosine verify (md5-derived planes are bit-identical in
-    DuckDB, so the whole blocked join is oracled)."""
+    """Embedding near-dup pairs via deterministic OR-amplified (3-table)
+    random-hyperplane LSH blocking + exact cosine verify (md5-derived
+    planes are bit-identical in DuckDB, so the whole blocked multi-table
+    join — candidate union, dedup, verify — is oracled)."""
     from predicate_finder_spark.operators.dedup import embedding_cosine_pairs
 
     # the synthetic embeddings hold no true near-dups (max blocked-pair
@@ -633,9 +634,97 @@ def q54_embed_neardup(spark, sf):
     # non-trivial result set at every sf
     e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
     pairs = embedding_cosine_pairs(
-        e, id_col="vec_id", vec_col="embedding", threshold=0.3, n_planes=6
+        e, id_col="vec_id", vec_col="embedding", threshold=0.3, n_planes=6,
+        n_tables=3,
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q55_kg_candidates(spark, sf):
+    """Flagship front half through the KG join, oracled end-to-end: mention
+    generation (real operator) -> alias equi-join + fused disambiguation/
+    containment windows -> consecutive-mention pairing -> both-direction KG
+    join with blacklist filter (operators/{mentions,linking,predicates}.py).
+
+    Inputs are derived deterministically from the documents table so DuckDB
+    can rebuild them exactly: the alias dictionary is the corpus's top-20
+    words (count desc, word asc), the KG is the md5-seeded 40% of ordered
+    top-word pairs under predicate coOccursWith, plus md5-seeded
+    wikiPageLink noise rows that the blacklist filter must drop — the
+    oracle generates NO noise rows, so equality proves the F2 filter fires.
+    The scorer window downstream stays rows-only (q40)."""
+    from predicate_finder_spark.operators.linking import link_mentions, resolve_mentions
+    from predicate_finder_spark.operators.mentions import generate_mentions
+    from predicate_finder_spark.operators.predicates import (
+        candidate_predicates,
+        pair_mentions,
+    )
+    from predicate_finder_spark.synth import _u
+
+    docs = _t(spark, sf, "documents")
+    sent = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).alias("sent_id"),
+        F.col("text").alias("sentence"),
+        _tokens(F.col("text")).alias("tokens"),
+    )
+    freq = (
+        sent.select(F.explode("tokens").alias("alias"))
+        .groupBy("alias")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("alias").asc())
+        .limit(20)
+    )
+    aliases = freq.select("alias", F.col("alias").alias("entity"), F.lit(0.9).alias("prior"))
+    a, b = freq.select(F.col("alias").alias("wa")), freq.select(F.col("alias").alias("wb"))
+    top_pairs = a.crossJoin(b).filter(F.col("wa") != F.col("wb"))  # 20x20 dim
+    kg = top_pairs.filter(_u("kg", F.col("wa"), F.col("wb")) < 0.4).select(
+        F.col("wa").alias("s"),
+        F.lit("http://example.org/ontology/coOccursWith").alias("p"),
+        F.col("wb").alias("o"),
+    )
+    kg_noise = top_pairs.filter(_u("bl", F.col("wa"), F.col("wb")) < 0.2).select(
+        F.col("wa").alias("s"),
+        F.lit("http://example.org/ontology/wikiPageLink").alias("p"),
+        F.col("wb").alias("o"),
+    )
+    mentions = generate_mentions(sent, max_n=1)
+    resolved = resolve_mentions(link_mentions(mentions, aliases))
+    pairs = pair_mentions(resolved, sent)
+    cands = candidate_predicates(pairs, kg.unionByName(kg_noise))
+    return cands.select(
+        "url", "sent_id", "subj", "obj", "pred", "rule",
+        F.array_join("rel_tokens", " ").alias("rel"),
+        F.round("pair_prior", 4).alias("pair_prior"),
+    )
+
+
+def q56_approx_quantiles(spark, sf):
+    """percentile_approx per group — no value oracle (approx result is
+    algorithm-specific); driver records rows+schema, and the tolerance
+    bound vs the exact percentile is pinned in tests/test_queries.py."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile_approx(value, 0.5, 1000)"), 4).alias("p50_approx"),
+            F.round(F.expr("percentile_approx(value, 0.95, 1000)"), 4).alias("p95_approx"),
+        )
+    )
+
+
+def q57_approx_distinct(spark, sf):
+    """approx_count_distinct (HLL++) per group — same rows-only contract as
+    q56; the relative-error tolerance vs countDistinct is pinned in
+    tests/test_queries.py."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("users_approx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
 
 
 def q40_kg_pipeline(spark, sf):
@@ -707,6 +796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_jaro_winkler": q52_jaro_winkler,
         "q53_quality": q53_quality,
         "q54_embed_neardup": q54_embed_neardup,
+        "q55_kg_candidates": q55_kg_candidates,
+        "q56_approx_quantiles": q56_approx_quantiles,
+        "q57_approx_distinct": q57_approx_distinct,
     }
 
 
@@ -1114,32 +1206,39 @@ def oracle_sql() -> dict[str, str]:
         FROM s
     """
     # q54: md5-derived hyperplanes are reproduced exactly (hex-fold of the
-    # first 8 md5 chars / 2^32 - 0.5); block key = sign pattern of the 6
-    # plane dots; cosine verify mirrors the engine's +1e-9-guarded formula
-    # so filter boundary and rounded values are identical
+    # first 8 md5 chars / 2^32 - 0.5); per-table block key = sign pattern of
+    # the 6 plane dots, candidates = union over the 3 tables DEDUPED, then
+    # the cosine verify mirrors the engine's +1e-9-guarded formula so the
+    # filter boundary and rounded values are identical
     _hex8 = (
         "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 9), "
         "i -> (strpos('0123456789abcdef', md5({s})[i]) - 1)::BIGINT)), "
         "(x, y) -> x * 16 + y)"
     )
-    _plane = _hex8.format(s="'plane' || p || 'dim' || (d - 1)")
+    _plane = _hex8.format(s="'t' || t || 'plane' || p || 'dim' || (d - 1)")
     sqls["q54_embed_neardup"] = f"""
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v
           FROM embeddings WHERE vec_id < 500
         ), keys AS (
-          SELECT vec_id, v,
+          SELECT vec_id, t,
                  list_aggregate(list_transform(range(0, 6), p ->
                    CASE WHEN coalesce(list_sum(list_transform(range(1, len(v) + 1), d ->
                           v[d] * ({_plane} / 4294967296.0 - 0.5))), 0.0) >= 0
                         THEN '1' ELSE '0' END), 'string_agg', '') AS bk
-          FROM e
+          FROM e, (SELECT unnest(range(0, 3)) AS t) tables
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM keys a JOIN keys b
+            ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id
         ), pairs AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 list_sum(list_transform(range(1, len(a.v) + 1), d -> a.v[d] * b.v[d]))
-                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                    * sqrt(list_sum(list_transform(b.v, x -> x * x))) + 1e-9) AS cos
-          FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id
+          SELECT id_a, id_b,
+                 list_sum(list_transform(range(1, len(ea.v) + 1), d -> ea.v[d] * eb.v[d]))
+                 / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(eb.v, x -> x * x))) + 1e-9) AS cos
+          FROM cand
+          JOIN e ea ON ea.vec_id = cand.id_a
+          JOIN e eb ON eb.vec_id = cand.id_b
         )
         SELECT id_a, id_b, round(cos, 6) AS cosine
         FROM pairs WHERE cos >= 0.3
@@ -1167,7 +1266,60 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN expected e ON md5(d.text) = e.h
         WHERE d.doc_id < 200
     """
-    # q40_kg_pipeline: pandas-UDF-scored multi-stage pipeline — the one
-    # intentionally rows-only entry (driver records rows-only; semantics
-    # pinned by unit tests + the P/R gate instead)
+    # q55: the flagship front half (mentions -> alias join -> disambiguate/
+    # containment -> consecutive pairing -> both-direction KG join +
+    # blacklist) rebuilt in SQL.  The md5-seeded KG selection mirrors
+    # synth._u: fold 12 md5 hex chars to a bigint, % 1000003 / 1000003.
+    # The oracle generates only coOccursWith triples; the Spark side ALSO
+    # feeds blacklisted wikiPageLink noise into candidate_predicates, so a
+    # broken F2 filter would surface as extra rows here.
+    _hex12 = (
+        "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 13), "
+        "i -> (strpos('0123456789abcdef', md5({s})[i]) - 1)::BIGINT)), "
+        "(x, y) -> x * 16 + y)"
+    )
+    _ukg = _hex12.format(s="'kg|' || a.word || '|' || b.word")
+    sqls["q55_kg_candidates"] = f"""
+        WITH toks AS (
+          SELECT doc_id::VARCHAR AS url,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents
+        ), words AS (
+          SELECT url, unnest(range(len(toks))) AS start, unnest(toks) AS w
+          FROM toks
+        ), freq AS (
+          SELECT w AS word, count(*) AS c FROM words GROUP BY w
+          ORDER BY c DESC, word ASC LIMIT 20
+        ), linked AS (
+          SELECT words.url, words.start, words.w AS entity
+          FROM words JOIN freq ON words.w = freq.word
+        ), seq AS (
+          SELECT url, start, entity,
+                 lead(entity) OVER (PARTITION BY url ORDER BY start ASC) AS entity2,
+                 lead(start) OVER (PARTITION BY url ORDER BY start ASC) AS start2
+          FROM linked
+        ), pairs AS (
+          SELECT s.url, s.entity, s.entity2,
+                 coalesce(array_to_string(t.toks[s.start + 2 : s.start2], ' '), '') AS rel
+          FROM seq s JOIN toks t ON s.url = t.url
+          WHERE s.entity2 IS NOT NULL AND s.start2 >= s.start + 1
+        ), kg AS (
+          SELECT a.word AS s, b.word AS o
+          FROM freq a, freq b
+          WHERE a.word <> b.word AND ({_ukg} % 1000003) / 1000003.0 < 0.4
+        ), oriented AS (
+          SELECT url, rel, entity AS s, entity2 AS o, 'forward' AS rule FROM pairs
+          UNION ALL
+          SELECT url, rel, entity2 AS s, entity AS o, 'reverse' AS rule FROM pairs
+        )
+        SELECT oriented.url, 0 AS sent_id, oriented.s AS subj, oriented.o AS obj,
+               'coOccursWith' AS pred, oriented.rule, oriented.rel,
+               round(0.81::DOUBLE, 4) AS pair_prior
+        FROM oriented JOIN kg ON oriented.s = kg.s AND oriented.o = kg.o
+    """
+    # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
+    # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the
+    # P/R gate; q56/q57 = approximate aggregates whose values are
+    # algorithm-specific, pinned by tolerance tests vs the exact
+    # aggregates in tests/test_queries.py)
     return sqls

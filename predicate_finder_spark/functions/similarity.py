@@ -80,9 +80,13 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, boost_threshold: float = 0.7)
 
     The prefix boost applies only when the Jaro similarity exceeds
     ``boost_threshold`` (0.7) — Winkler's original definition, and the one
-    DuckDB's ``jaro_winkler_similarity`` implements (verified empirically),
-    so the oracle can check this kernel bit-for-bit.
+    DuckDB's ``jaro_winkler_similarity`` implements (verified empirically
+    over 3k fuzzed pairs), so the oracle can check this kernel bit-for-bit.
+    Empty-string inputs return 0.0, also matching DuckDB (whose kernel
+    treats an empty side as no-match even when both sides are empty).
     """
+    if not s1 or not s2:
+        return 0.0
     j = _jaro(s1, s2)
     if j <= boost_threshold:
         return j
@@ -115,4 +119,32 @@ def jaro_winkler_tokens_udf(a: pd.Series, b: pd.Series) -> pd.Series:
             continue
         total = sum(jaro_winkler(x, y) for x in ta for y in tb)
         out.append(total / (len(ta) * len(tb)))
+    return pd.Series(out, dtype="float64")
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_align_udf(query_tokens: pd.Series, target_tokens: pd.Series) -> pd.Series:
+    """Greedy-alignment Jaro-Winkler: for each TARGET token take the best
+    JW match among the QUERY tokens, then average over target tokens.
+
+    The mean-PAIRWISE kernel above (the reference's cha_sim,
+    xgboost/utils.py:47-54) is right for short relation spans, but over a
+    whole question the stopwords ("what is the ...") dilute every
+    predicate's score toward the same mid-0.2s and the ranking signal
+    drowns.  Aligning each predicate word to its best question word keeps
+    the character signal ("birt plac" -> birthPlace scores ~0.96 while
+    headOffice stays ~0.5) regardless of how much else the question says.
+    Asymmetric on purpose: extra query tokens are free, missing predicate
+    words are penalized.
+    """
+    out = []
+    for tq, tt in zip(query_tokens, target_tokens):
+        tq = list(tq) if tq is not None else []
+        tt = list(tt) if tt is not None else []
+        if not tq or not tt:
+            out.append(0.0)
+            continue
+        out.append(
+            sum(max(jaro_winkler(t, q) for q in tq) for t in tt) / len(tt)
+        )
     return pd.Series(out, dtype="float64")

@@ -209,28 +209,40 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Embedding near-dup pairs via random-hyperplane LSH blocking.
+    """Embedding near-dup pairs via OR-amplified random-hyperplane LSH.
 
-    Sign-pattern of dot products with ``n_planes`` md5-derived pseudo-random
-    hyperplanes forms the block key; exact cosine verifies.  Collision
-    probability for angle θ is (1-θ/π)^n_planes.
+    ``n_tables`` independent tables, each blocking on the sign-pattern of
+    ``n_planes`` md5-derived pseudo-random hyperplanes; candidate pairs are
+    the union over tables (deduped), verified with exact cosine.
+
+    Recall math: one table's collision probability at angle θ is
+    p = (1-θ/π)^n_planes; OR-amplification lifts it to 1-(1-p)^n_tables —
+    at the default threshold 0.95 (θ≈18°, p≈0.43) a SINGLE table silently
+    misses the majority of true near-duplicates, while 8 tables reach
+    ≈0.989.  Same structure as the MinHash band OR upstream.
+
+    Join shape at 100 TB: the keyed frame carries (id, block_key) ONLY —
+    vectors are joined back for the O(|unique candidate pairs|) cosine
+    verify, so fat embeddings shuffle once per side, not once per table,
+    and the per-table self-join shuffles 8-byte ids + short keys.
     """
     from predicate_finder_spark.functions.similarity import cosine_expr
 
     dim_probe = vectors.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
-    # deterministic pseudo-random hyperplanes from md5(plane, dim)
-    planes = [
-        F.array(*[
-            (F.conv(F.substring(F.md5(F.lit(f"plane{p}dim{d}")), 1, 8), 16, 10).cast("double")
-             / F.lit(float(1 << 32)) - 0.5)
-            for d in range(dim_probe)
-        ])
-        for p in range(n_planes)
-    ]
-    key = F.concat_ws(
-        "",
-        *[
+
+    def table_key(t: int) -> F.Column:
+        # deterministic pseudo-random hyperplanes from md5(table, plane, dim)
+        planes = [
+            F.array(*[
+                (F.conv(F.substring(F.md5(F.lit(f"t{t}plane{p}dim{d}")), 1, 8), 16, 10)
+                 .cast("double") / F.lit(float(1 << 32)) - 0.5)
+                for d in range(dim_probe)
+            ])
+            for p in range(n_planes)
+        ]
+        bits = [
             F.when(
                 F.aggregate(
                     F.zip_with(F.col(vec_col), pl, lambda x, y: x.cast("double") * y),
@@ -238,14 +250,18 @@ def embedding_cosine_pairs(
                 ) >= 0, F.lit("1"),
             ).otherwise(F.lit("0"))
             for pl in planes
-        ],
+        ]
+        return F.concat_ws("", F.lit(f"t{t}:"), *bits)
+
+    keyed = vectors.select(
+        F.col(id_col),
+        F.explode(F.array(*[table_key(t) for t in range(n_tables)])).alias("block_key"),
     )
-    keyed = vectors.select(F.col(id_col), F.col(vec_col), key.alias("block_key"))
-    a = keyed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "block_key")
-    b = keyed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "block_key")
+    pairs = _pair_frame(vectors, id_col, keyed)
+    sets = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return (
-        a.join(b, "block_key")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(sets.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
         .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

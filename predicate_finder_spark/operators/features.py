@@ -129,15 +129,21 @@ def build_features(
     return out
 
 
-def negative_sample(candidates: DataFrame, gold: DataFrame) -> DataFrame:
-    """J7: per (url, subj, obj) emit one positive (the gold predicate) and
-    the first non-gold candidate as the negative (reference
-    QueryFilter.py:160-167 takes the first candidate != gold).
+def negative_sample(
+    candidates: DataFrame,
+    gold: DataFrame,
+    key: tuple[str, ...] = ("url", "subj", "obj"),
+) -> DataFrame:
+    """J7: per ``key`` emit one positive (the gold predicate) and the first
+    non-gold candidate as the negative (reference QueryFilter.py:160-167
+    takes the first candidate != gold).
 
     anti-join flavor: candidates LEFT ANTI gold -> row_number = 1.
-    Output adds ``label`` (1.0 positive / 0.0 negative).
+    Output adds ``label`` (1.0 positive / 0.0 negative).  ``key`` defaults
+    to the flagship's (url, subj, obj); the question pipeline uses
+    (url, entity).
     """
-    key = ["url", "subj", "obj"]
+    key = list(key)
     g = gold.select(*key, F.col("pred").alias("__gold_pred")).distinct()
     pos = (
         candidates.join(g, key, "inner")

@@ -9,9 +9,12 @@ nor xgboost is in this container, so:
   broadcast model ONCE per executor/python-worker and scores Arrow batches
   (the `predict_batch_udf` pattern) over the assembled feature columns;
 - the model kernel is pluggable: a real booster's bytes load via
-  ``framework='xgboost'`` when the library exists; otherwise a
-  deterministic numpy linear model (fixed weights over the 6 features)
-  stands in, keeping tests and plans identical.
+  ``framework='xgboost'`` when the library exists; ``framework='linear'``
+  loads weights FITTED in-repo by operators/train.py (pure-numpy logistic
+  on the negative_sample/train_dev_split output — the sandbox-runnable
+  analog of the reference's xgboost/train_xgb.py:12-34); with no model at
+  all, a deterministic fixed-weight stand-in keeps tests and plans alive
+  but its rankings are unvalidated — prefer the fitted path.
 """
 
 from __future__ import annotations
@@ -31,7 +34,34 @@ _FALLBACK_W = np.array([0.05, 0.02, 0.1, 0.3, 0.03, 0.5])
 _FALLBACK_B = 0.0
 
 
+def serialize_linear_model(w, b: float) -> bytes:
+    """Serialize fitted linear/logistic weights (operators/train.py) for
+    broadcast into make_rerank_udf — the K4 model-sink payload."""
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, w=np.asarray(w, dtype=np.float64), b=np.float64(b))
+    return buf.getvalue()
+
+
+def deserialize_linear_model(model_bytes: bytes) -> tuple[np.ndarray, float]:
+    import io
+
+    z = np.load(io.BytesIO(model_bytes))
+    return z["w"], float(z["b"])
+
+
 def _load_model(model_bytes: bytes | None, framework: str):
+    if framework == "linear" and model_bytes is not None:
+        w, b = deserialize_linear_model(model_bytes)
+
+        def predict(X: np.ndarray) -> np.ndarray:
+            # ranking use: the logistic link is monotone, so the linear
+            # score orders candidates identically to the probability
+            return X @ w + b
+
+        return predict, "linear_fitted"
+
     if framework == "xgboost" and model_bytes is not None:
         try:
             import xgboost as xgb  # not in the sandbox image; works on clusters

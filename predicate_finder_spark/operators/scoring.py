@@ -60,6 +60,71 @@ def collect_embeddings(
     return {w: np.asarray(v, dtype=np.float64) for w, v in zip(pdf["word"], pdf["vector"])}
 
 
+def scorer_vocab(
+    idf: dict[str, float],
+    kg_triples: DataFrame | None = None,
+    ontology: DataFrame | None = None,
+    include_object_localnames: bool = False,
+) -> set[str]:
+    """The bounded token universe the scorer (and the rerank channels) can
+    ever look up — the ``vocab`` argument for :func:`collect_embeddings`.
+
+    Composition (each part bounded, never corpus-sized):
+    - the capped IDF vocabulary (question/relation-surface tokens all come
+      from the corpus, so the capped IDF keys are exactly the rel tokens
+      that will carry a vector; words dropped by the cap score as OOV in
+      BOTH dictionaries — consistent semantics, documented in
+      PipelineConfig.max_vocab);
+    - predicate tokens: camelCase words + the raw localname of every
+      distinct KG predicate (the scorer looks up camel words; the matcher's
+      hier fallback looks up the localname) — bounded by the KG's predicate
+      vocabulary, a dimension-sized distinct;
+    - ontology labels (looked up whole by the matcher's hier channel);
+    - optionally (rerank path) KG object-localname tokens, the answer-sim
+      channel's lookups (features.py) — bounded by the KG entity-name
+      vocabulary, NOT by the corpus.
+    """
+    from predicate_finder_spark.functions.text import camel_split, uri_localname
+
+    vocab = {w.lower() for w in idf}
+    frames = []
+    if kg_triples is not None:
+        preds = kg_triples.select(uri_localname(F.col("p")).alias("ln")).distinct()
+        frames.append(
+            preds.select(F.explode(camel_split(F.col("ln"))).alias("t"))
+        )
+        frames.append(preds.select(F.lower(F.col("ln")).alias("t")))
+        if include_object_localnames:
+            frames.append(
+                kg_triples.select(F.col("o").alias("u"))
+                .distinct()
+                .select(
+                    F.explode(
+                        F.split(F.lower(uri_localname(F.col("u"))), "_")
+                    ).alias("t")
+                )
+            )
+    if ontology is not None:
+        frames.append(
+            ontology.select(
+                F.explode(
+                    F.array(
+                        F.lower(F.col("label")),
+                        F.lower(F.coalesce(F.col("range_label"), F.col("label"))),
+                    )
+                ).alias("t")
+            )
+        )
+    if frames:
+        allf = frames[0]
+        for f in frames[1:]:
+            allf = allf.unionByName(f)
+        vocab.update(
+            r["t"] for r in allf.distinct().collect() if r["t"]
+        )
+    return vocab
+
+
 def collect_idf(
     idf: DataFrame, min_df: int = 1, max_entries: int | None = None
 ) -> dict[str, float]:
@@ -71,11 +136,24 @@ def collect_idf(
     exactly what an OOV word gets), ``max_entries`` keeps the top-K by
     document frequency via a distributed top-k (orderBy+limit ->
     TakeOrderedAndProject, never a single-partition window).
+
+    ``idf`` may be an external (word, idf)-only table (extract_triples
+    accepts one).  Without a ``df`` column, ``max_entries`` orders by idf
+    ASC instead — idf = log2(N/df) is monotone decreasing in df, so
+    idf-ascending IS df-descending and the top-K-by-frequency intent is
+    preserved exactly; ``min_df`` is skipped (the floor needs N, which a
+    bare idf table doesn't carry) rather than raising at plan time.
     """
-    if min_df > 1:
+    has_df = "df" in idf.columns
+    if min_df > 1 and has_df:
         idf = idf.filter(F.col("df") >= min_df)
     if max_entries is not None:
-        idf = idf.orderBy(F.col("df").desc(), F.col("word").asc()).limit(max_entries)
+        order = (
+            [F.col("df").desc(), F.col("word").asc()]
+            if has_df
+            else [F.col("idf").asc(), F.col("word").asc()]
+        )
+        idf = idf.orderBy(*order).limit(max_entries)
     pdf = idf.select("word", "idf").toPandas()
     return dict(zip(pdf["word"], pdf["idf"]))
 

@@ -86,13 +86,29 @@ def range_join(
     equi-join (no crossJoin/theta join: Catalyst would otherwise fall back
     to BroadcastNestedLoopJoin, which dies at scale).
 
+    ``how`` must be 'inner': this bucketize-explode-filter formulation is
+    inner-only — an outer bucket join followed by the exact lo/hi filter
+    would drop the very unmatched rows an outer join is supposed to keep,
+    and the clamp would additionally erase out-of-range intervals before
+    they could surface as unmatched.  Outer range semantics need a
+    different plan (inner result LEFT-joined back to the preserved side),
+    so rather than silently return inner results under an outer name we
+    refuse.
+
     ``clamp`` (default on) first computes the fact table's observed
     [min, max] of ``value_col`` (one cheap column-pruned agg) and clips each
     interval's bucket range to it — an open-ended band like [150k, 1e9)
     would otherwise explode into (hi-lo)/bucket_width rows (40k buckets for
     one interval at width 25k).  Buckets outside the observed value range
-    can never match, so results are identical.
+    can never match an inner join, so inner results are identical.
     """
+    if how != "inner":
+        raise ValueError(
+            f"range_join supports how='inner' only (got {how!r}): the "
+            "post-join lo/hi filter and the bucket clamp both break outer "
+            "semantics; build outer results by left-joining the inner "
+            "output back to the preserved side"
+        )
     bounds = None
     if clamp:
         row = fact.agg(

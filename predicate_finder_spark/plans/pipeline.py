@@ -45,6 +45,7 @@ from predicate_finder_spark.operators.scoring import (
     collect_idf,
     make_scorer_udf,
     score_candidates,
+    scorer_vocab,
     to_triples,
     top1_per_pair,
 )
@@ -60,6 +61,8 @@ def extract_triples(
     embeddings: DataFrame,
     cfg: PipelineConfig | None = None,
     idf: DataFrame | None = None,
+    rerank_model: bytes | None = None,
+    rerank_framework: str = "linear",
 ) -> DataFrame:
     """Full extraction plan; returns the triples DataFrame (lazy unless
     cfg.checkpoint_dir is set, in which case each major stage commits a
@@ -68,11 +71,23 @@ def extract_triples(
     ``idf``: optional precomputed (word, idf) table.  Default builds it
     from this corpus (one extra aggregation pass).  Streaming/incremental
     runs MUST pass a fixed table — IDF is corpus-level state, and
-    recomputing it per microbatch would make scores batch-dependent."""
+    recomputing it per microbatch would make scores batch-dependent.
+
+    ``rerank_model``/``rerank_framework``: serialized re-ranker for
+    cfg.scorer='rerank' (fitted weights from operators/train.py with
+    framework='linear', or xgboost booster bytes on a cluster that has
+    it).  None falls back to the deterministic hand-weight stand-in —
+    fine for plan/shape tests, unvalidated for ranking quality."""
     cfg = cfg or PipelineConfig()
     if cfg.scorer not in ("baseline", "rerank"):
         raise ValueError(f"unknown scorer {cfg.scorer!r}; use 'baseline' or 'rerank'")
     ch = cfg.config_hash()
+    if rerank_model is not None:
+        # the model is part of the output's identity: a stage checkpoint
+        # written under one model must not be resumed under another
+        import hashlib as _hashlib
+
+        ch = ch[:8] + _hashlib.md5(rerank_model).hexdigest()[:8]
     cp = cfg.checkpoint_dir
 
     def stage(name: str, fn, inputs: list[str] | None = None, input_dfs=None) -> DataFrame:
@@ -137,11 +152,23 @@ def extract_triples(
 
     def _triples() -> DataFrame:
         idf_df = idf if idf is not None else build_idf(sent_df)
-        emb_dict = collect_embeddings(embeddings)
+        idf_dict = collect_idf(idf_df, min_df=cfg.idf_min_df, max_entries=cfg.max_vocab)
+        # the embedding pull is capped by the token universe the scorer can
+        # ever look up (capped IDF vocab + predicate/ontology tokens; + KG
+        # object localnames for the rerank answer-sim channel) — on open web
+        # text the embeddings table is unbounded and an unfiltered collect
+        # is a driver OOM (collect_embeddings docstring).
+        vocab = scorer_vocab(
+            idf_dict,
+            kg_triples=kg_triples,
+            ontology=ontology,
+            include_object_localnames=(cfg.scorer == "rerank"),
+        )
+        emb_dict = collect_embeddings(embeddings, vocab=vocab)
         scorer = make_scorer_udf(
             spark,
             emb_dict,
-            collect_idf(idf_df, min_df=cfg.idf_min_df, max_entries=cfg.max_vocab),
+            idf_dict,
             max_ngram=cfg.max_ngram,
             default_idf=cfg.default_idf,
         )
@@ -186,9 +213,10 @@ def extract_triples(
                 matcher_col="matcher_score",
                 answer_sim_udf=make_answer_sim_udf(spark, emb_dict),
             )
-            reranked = rerank(feats, make_rerank_udf(spark)).withColumn(
-                "score", F.col("rerank_score")
-            )
+            reranked = rerank(
+                feats,
+                make_rerank_udf(spark, rerank_model, framework=rerank_framework),
+            ).withColumn("score", F.col("rerank_score"))
             scored = reranked.drop("rerank_score")
         return to_triples(top1_per_pair(scored))
 

@@ -28,10 +28,11 @@ from predicate_finder_spark.operators.scoring import (
     collect_embeddings,
     collect_idf,
     make_scorer_udf,
+    scorer_vocab,
 )
 
 
-def answer_questions(
+def question_candidates(
     spark: SparkSession,
     questions: DataFrame,
     aliases: DataFrame,
@@ -40,9 +41,13 @@ def answer_questions(
     blacklist: tuple[str, ...] = ("#", "subject", "wiki", "hypernym", "gender"),
     max_ngram: int = 2,
 ) -> DataFrame:
-    """questions(qid, question) -> (qid, entity, pred_uri, pred, score).
+    """The scored candidate frame BEFORE the per-question argmax: one row
+    per (question, entity, predicate) candidate with
+    (url, entity, prior, pred_uri, pred, rel_tokens, pred_tokens, score).
 
-    One row per question: the argmax (entity, predicate) pair.
+    Exposed separately from :func:`answer_questions` so the re-ranker
+    training loop (operators/train.py) can negative-sample and re-score
+    the same candidates the baseline argmax sees.
     """
     import re as _re
 
@@ -81,17 +86,28 @@ def answer_questions(
     )
 
     idf = build_idf(sent)
-    scorer = make_scorer_udf(
-        spark, collect_embeddings(embeddings), collect_idf(idf), max_ngram=max_ngram
+    idf_dict = collect_idf(idf)
+    # bounded embedding pull: question tokens ⊆ IDF vocab, predicate camel
+    # words from the KG — never an unfiltered toPandas of the table
+    emb_dict = collect_embeddings(
+        embeddings, vocab=scorer_vocab(idf_dict, kg_triples=kg_triples)
     )
-    scored = scored_input.withColumn(
+    scorer = make_scorer_udf(spark, emb_dict, idf_dict, max_ngram=max_ngram)
+    return scored_input.withColumn(
         "score", scorer(F.col("rel_tokens"), F.col("pred_tokens"))
     )
 
-    # argmax over all (entity, predicate) pairs per question, prior-weighted
-    # like Spotlight confidence re-ranks entities (baseline.py:159-160)
+
+def argmax_answers(scored: DataFrame, rank_col=None) -> DataFrame:
+    """Per-question argmax over the candidate frame -> one answer row.
+
+    Default ranking is the baseline's prior-weighted score (Spotlight
+    confidence re-ranks entities, baseline.py:159-160); pass ``rank_col``
+    (e.g. ``F.col('rerank_score')``) to argmax a re-ranked column instead.
+    """
+    rank = rank_col if rank_col is not None else (F.col("score") * F.col("prior"))
     w = Window.partitionBy("url").orderBy(
-        (F.col("score") * F.col("prior")).desc(), F.col("pred").asc(), F.col("entity").asc()
+        rank.desc(), F.col("pred").asc(), F.col("entity").asc()
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -101,6 +117,73 @@ def answer_questions(
             F.col("score").cast("double").alias("score"),
         )
     )
+
+
+def question_features(spark: SparkSession, cands: DataFrame, kg_triples: DataFrame,
+                      emb: dict) -> DataFrame:
+    """Add the 6 re-ranker FEATURE_COLS to question candidates (the
+    question-pipeline twin of operators/features.py build_features):
+
+      f_prior       link prior
+      f_answer_sim  cosine(question tokens, KG answer tokens) — the
+                    rewritten-query execution is a KG (s, p) lookup with
+                    min(o) as the deterministic first answer
+      f_embed_sim   baseline score when positive
+      f_overlap     token-overlap(rel_tokens, pred_tokens)
+      f_jw          alignment Jaro-Winkler: each predicate word matched to
+                    its best question word (jaro_winkler_align_udf) — the
+                    question's rel span is stopword-heavy, so the flagship's
+                    mean-pairwise cha_sim kernel would drown the signal
+      f_score       baseline score (the model-score slot)
+    """
+    from predicate_finder_spark.functions.similarity import jaro_winkler_align_udf
+    from predicate_finder_spark.functions.text import token_overlap_ratio
+    from predicate_finder_spark.operators.features import make_answer_sim_udf
+
+    answer_sim = make_answer_sim_udf(spark, emb)
+    answers = kg_triples.groupBy(
+        F.col("s").alias("entity"), F.col("p").alias("pred_uri")
+    ).agg(F.min("o").alias("__ans"))
+    ans_tokens = F.split(F.lower(uri_localname(F.col("__ans"))), "_")
+    return (
+        cands.join(answers, ["entity", "pred_uri"], "left")
+        .withColumn(
+            "f_answer_sim",
+            F.when(
+                F.col("__ans").isNotNull(),
+                answer_sim(F.col("rel_tokens"), ans_tokens),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__ans")
+        .withColumn("f_prior", F.col("prior").cast("double"))
+        .withColumn(
+            "f_embed_sim",
+            F.when(F.col("score") > 0, F.col("score")).otherwise(F.lit(0.0)),
+        )
+        .withColumn("f_overlap", token_overlap_ratio(F.col("rel_tokens"), F.col("pred_tokens")))
+        .withColumn("f_jw", jaro_winkler_align_udf(F.col("rel_tokens"), F.col("pred_tokens")))
+        .withColumn("f_score", F.col("score").cast("double"))
+    )
+
+
+def answer_questions(
+    spark: SparkSession,
+    questions: DataFrame,
+    aliases: DataFrame,
+    kg_triples: DataFrame,
+    embeddings: DataFrame,
+    blacklist: tuple[str, ...] = ("#", "subject", "wiki", "hypernym", "gender"),
+    max_ngram: int = 2,
+) -> DataFrame:
+    """questions(qid, question) -> (qid, entity, pred_uri, pred, score).
+
+    One row per question: the argmax (entity, predicate) pair.
+    """
+    scored = question_candidates(
+        spark, questions, aliases, kg_triples, embeddings,
+        blacklist=blacklist, max_ngram=max_ngram,
+    )
+    return argmax_answers(scored)
 
 
 def question_accuracy_by_template(answers: DataFrame, gold: DataFrame) -> DataFrame:

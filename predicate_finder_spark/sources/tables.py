@@ -35,8 +35,24 @@ def read_manifest(path: str) -> dict | None:
     mp = manifest_path(path)
     if not os.path.exists(mp):
         return None
-    with open(mp) as f:
-        return json.load(f)
+    try:
+        with open(mp) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        # a torn/unreadable manifest means "stage not committed": resume
+        # recomputes the stage instead of crashing on every later run
+        return None
+
+
+def _write_manifest_atomic(path: str, manifest: dict) -> None:
+    """All manifest writes go through tmp + os.replace so a crash mid-write
+    can never leave a truncated _manifest.json (which would permanently
+    break resume for the stage)."""
+    mp = manifest_path(path)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, mp)
 
 
 def stage_complete(
@@ -220,8 +236,7 @@ def checkpoint_stage(
     m = read_manifest(path)
     if m is not None:
         m["metrics"]["write_sec"] = round(time.time() - t0, 3)
-        with open(manifest_path(path), "w") as f:
-            json.dump(m, f, indent=2, sort_keys=True)
+        _write_manifest_atomic(path, m)
     return read_stage(spark, path)
 
 

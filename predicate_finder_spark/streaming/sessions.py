@@ -52,15 +52,21 @@ def _make_fn(gap_seconds: float):
         else:
             start, last, n = None, None, 0
         closed: list[tuple] = []
-        for pdf in pdfs:
-            for ts in sorted(pdf["ts_sec"].tolist()):
-                if last is not None and ts - last > gap_seconds:
-                    closed.append((user_id, start, last, n))
-                    start, n = ts, 0
-                if start is None:
-                    start = ts
-                last = ts
-                n += 1
+        # applyInPandasWithState hands a group's microbatch as an ITERATOR of
+        # Arrow chunks (maxRecordsPerBatch-sized); sorting per chunk would
+        # process a >1-chunk key out of event-time order and split sessions
+        # wrongly, so materialize the whole microbatch before the single sort.
+        # Bounded: this is one key's events within ONE microbatch, not the
+        # stream — the trigger interval bounds it, not stream length.
+        ts_all = sorted(t for pdf in pdfs for t in pdf["ts_sec"].tolist())
+        for ts in ts_all:
+            if last is not None and ts - last > gap_seconds:
+                closed.append((user_id, start, last, n))
+                start, n = ts, 0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
         if last is not None:
             state.update((start, last, n))
         if closed:

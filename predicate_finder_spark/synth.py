@@ -284,18 +284,35 @@ def build_embeddings(spark: SparkSession, dim: int = 16) -> DataFrame:
 
 
 def synth_question_set(
-    spark: SparkSession, n_questions: int, n_entities: int = 200
+    spark: SparkSession, n_questions: int, n_entities: int = 200,
+    paraphrase: bool = False,
 ) -> dict[str, DataFrame]:
     """LC-QuAD-shaped fixture for the question pipeline (plans/questions.py):
     questions + gold (qid, entity, pred) + a KG holding each question's
     answer triple in the right direction plus 2 same-direction distractor
-    predicates per question (so scoring, not lookup, decides)."""
+    predicates per question (so scoring, not lookup, decides).
+
+    ``paraphrase=True`` replaces each predicate's surface words in the
+    QUESTION with truncated variants (``birth place`` -> ``birt plac``):
+    deterministic out-of-vocabulary paraphrases that keep high character
+    similarity but zero token overlap / no embedding.  This is the regime
+    the reference built its learned re-ranker for (questions that don't
+    repeat the predicate's words verbatim) — the baseline IDF x cosine
+    scorer loses its signal while character-level features (Jaro-Winkler)
+    retain it, so a FITTED re-ranker separates from both the baseline and
+    any hand-weight fallback.
+    """
     ents = entity_names(n_entities)
     surfaces = [e.replace("_", " ") for e in ents]
     ent_arr = F.array(*[F.lit(s) for s in surfaces])
     ent_canon_arr = F.array(*[F.lit(e) for e in ents])
     pred_arr = F.array(*[F.lit(p) for p in PREDICATES])
-    pred_words_arr = F.array(*[F.lit(" ".join(_camel_words(p))) for p in PREDICATES])
+    def _surface(p: str) -> str:
+        words = _camel_words(p)
+        if paraphrase:
+            words = [w[:-1] if len(w) > 2 else w for w in words]
+        return " ".join(words)
+    pred_words_arr = F.array(*[F.lit(_surface(p)) for p in PREDICATES])
     k = len(PREDICATES)
 
     q = spark.range(n_questions).withColumnRenamed("id", "qnum").withColumn(

@@ -53,3 +53,25 @@ def test_jaro_winkler_udf(spark):
     df = spark.createDataFrame([("dwayne", "duane")], "a string, b string")
     got = df.select(jaro_winkler_udf(F.col("a"), F.col("b")).alias("s")).first()["s"]
     assert 0.8 < got < 1.0
+
+
+def test_jaro_winkler_align_udf(spark):
+    """Alignment JW keeps the character signal through stopword-heavy
+    queries (mean-pairwise would dilute every target toward the same
+    mid-0.2s): each target token matches its best query token."""
+    from predicate_finder_spark.functions.similarity import jaro_winkler_align_udf
+
+    q = ["what", "is", "the", "birt", "plac", "of", "x"]
+    df = spark.createDataFrame(
+        [(q, ["birth", "place"]), (q, ["head", "office"]), (q, [])],
+        "q array<string>, t array<string>",
+    )
+    got = [
+        r["s"]
+        for r in df.select(jaro_winkler_align_udf(F.col("q"), F.col("t")).alias("s")).collect()
+    ]
+    assert got[0] > 0.9          # birt/plac align to birth/place
+    assert got[0] > got[1] + 0.15  # distractor predicate scores clearly lower
+    # ("office" still aligns to "of" with a Winkler prefix boost, so the
+    # distractor isn't near zero — the separation, not the absolute, matters)
+    assert got[2] == 0.0          # empty target

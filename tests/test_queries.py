@@ -66,6 +66,50 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_q56_approx_quantiles_tolerance(spark):
+    """The approx entries have no value oracle by design (driver records
+    rows+schema); this pins percentile_approx against the exact percentile
+    within the algorithm's rank-error bound (1/accuracy = 0.1%, loose 5%
+    value tolerance on this distribution)."""
+    from pyspark.sql import functions as F
+
+    approx = {r["event_type"]: r for r in QUERIES["q56_approx_quantiles"](spark, SF_DIR).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for et, r in approx.items():
+        for a_col, e_col in (("p50_approx", "p50"), ("p95_approx", "p95")):
+            a, e = r[a_col], exact[et][e_col]
+            assert abs(a - e) <= 0.05 * max(abs(e), 1.0), (et, a_col, a, e)
+
+
+def test_q57_approx_distinct_tolerance(spark):
+    """approx_count_distinct at rsd=0.02 vs exact countDistinct: HLL++'s
+    error is probabilistic around rsd, so pin a generous 4-sigma bound."""
+    from pyspark.sql import functions as F
+
+    approx = {r["event_type"]: r["users_approx"] for r in QUERIES["q57_approx_distinct"](spark, SF_DIR).collect()}
+    exact = {
+        r["event_type"]: r["u"]
+        for r in spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a - e) <= max(0.08 * e, 4), (et, a, e)
+
+
 def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

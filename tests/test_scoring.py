@@ -120,6 +120,55 @@ def test_collect_embeddings_vocab_filter(spark):
     assert set(d) == {"a", "c"}
 
 
+def test_collect_embeddings_bounded_on_huge_table(spark):
+    """The flagship wiring (plans/pipeline.py) must never pull an unbounded
+    embeddings table to the driver: with a vocab, a 10^6-row table collects
+    at most |vocab| rows, through BOTH the isin path (small vocab) and the
+    broadcast-semi-join path (large vocab)."""
+    from pyspark.sql import functions as F
+
+    from predicate_finder_spark.operators.scoring import collect_embeddings
+
+    emb = spark.range(1_000_000).select(
+        F.concat(F.lit("w"), F.col("id")).alias("word"),
+        F.array(F.lit(0.5)).alias("vector"),
+    )
+    small_vocab = {f"w{i}" for i in range(50)} | {"not_in_table"}
+    d = collect_embeddings(emb, vocab=small_vocab)
+    assert len(d) == 50
+    big_vocab = {f"w{i}" for i in range(20_000)}  # > the 10k isin cutoff
+    d2 = collect_embeddings(emb, vocab=big_vocab)
+    assert len(d2) == 20_000
+
+
+def test_scorer_vocab_covers_all_lookups(spark):
+    """scorer_vocab = capped IDF keys + predicate camel words + predicate
+    localnames + ontology labels (+ object localname tokens for rerank) —
+    exactly the token universe the scorer / matcher / answer-sim can probe,
+    and nothing corpus-sized."""
+    from predicate_finder_spark.operators.scoring import scorer_vocab
+
+    kg = spark.createDataFrame(
+        [
+            ("Alba_Arnheim", "http://x.org/ontology/birthPlace", "Rosa_Bexley"),
+            ("Alba_Arnheim", "http://x.org/ontology/teamSport", "Rosa_Bexley"),
+        ],
+        "s string, p string, o string",
+    )
+    onto = spark.createDataFrame(
+        [("birthPlace", "birth place", "Settlement Kind")],
+        "predicate string, label string, range_label string",
+    )
+    v = scorer_vocab({"The": 1.0, "fast": 2.0}, kg_triples=kg, ontology=onto)
+    # idf keys lowered + camel words + raw localnames + whole labels
+    assert {"the", "fast", "birth", "place", "team", "sport",
+            "birthplace", "teamsport", "birth place", "settlement kind"} <= v
+    # entity names only appear when the rerank answer-sim channel asks
+    assert "alba" not in v and "rosa" not in v
+    v2 = scorer_vocab({}, kg_triples=kg, include_object_localnames=True)
+    assert {"rosa", "bexley"} <= v2
+
+
 def test_blacklist_filter(spark):
     pairs = spark.createDataFrame(
         [("u", 0, "A", "B", 1.0, ["x"])],
