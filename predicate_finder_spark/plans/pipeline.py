@@ -52,6 +52,36 @@ from predicate_finder_spark.operators.scoring import (
 from predicate_finder_spark.sources.tables import checkpoint_stage
 
 
+def build_scorer_dicts(
+    idf_df: DataFrame,
+    kg_triples: DataFrame,
+    ontology: DataFrame,
+    embeddings: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> tuple[dict, dict]:
+    """Build the scorer's two driver-side dictionaries (idf_dict, emb_dict)
+    from a materialized IDF table — corpus-level state, built ONCE and
+    reused across runs/microbatches/increments.
+
+    The collects are bounded: idf by cfg.idf_min_df/cfg.max_vocab, the
+    embedding pull by scorer_vocab (capped IDF vocab + predicate/ontology
+    tokens).  On a production cluster these dictionaries are the natural
+    reuse seam — the same (idf_dict, emb_dict) pair feeds every incremental
+    batch until the corpus snapshot rolls, so the per-run serial residue is
+    just the broadcast, not the rebuild.  Pass the result to
+    :func:`extract_triples` via ``scorer_dicts=``."""
+    cfg = cfg or PipelineConfig()
+    idf_dict = collect_idf(idf_df, min_df=cfg.idf_min_df, max_entries=cfg.max_vocab)
+    vocab = scorer_vocab(
+        idf_dict,
+        kg_triples=kg_triples,
+        ontology=ontology,
+        include_object_localnames=(cfg.scorer == "rerank"),
+    )
+    emb_dict = collect_embeddings(embeddings, vocab=vocab)
+    return idf_dict, emb_dict
+
+
 def extract_triples(
     spark: SparkSession,
     pages: DataFrame,
@@ -63,6 +93,7 @@ def extract_triples(
     idf: DataFrame | None = None,
     rerank_model: bytes | None = None,
     rerank_framework: str = "linear",
+    scorer_dicts: tuple[dict, dict] | None = None,
 ) -> DataFrame:
     """Full extraction plan; returns the triples DataFrame (lazy unless
     cfg.checkpoint_dir is set, in which case each major stage commits a
@@ -77,7 +108,13 @@ def extract_triples(
     cfg.scorer='rerank' (fitted weights from operators/train.py with
     framework='linear', or xgboost booster bytes on a cluster that has
     it).  None falls back to the deterministic hand-weight stand-in —
-    fine for plan/shape tests, unvalidated for ranking quality."""
+    fine for plan/shape tests, unvalidated for ranking quality.
+
+    ``scorer_dicts``: optional precomputed (idf_dict, emb_dict) from
+    :func:`build_scorer_dicts` — same reuse contract as ``idf``: corpus-
+    level state the caller keeps fixed across incremental runs.  The caller
+    owns consistency (dicts built from one corpus snapshot scored against
+    another shift scores exactly as a stale IDF table would)."""
     cfg = cfg or PipelineConfig()
     if cfg.scorer not in ("baseline", "rerank"):
         raise ValueError(f"unknown scorer {cfg.scorer!r}; use 'baseline' or 'rerank'")
@@ -151,20 +188,19 @@ def extract_triples(
     cands = stage("candidates", _candidates, ["linked_mentions", "sentences"])
 
     def _triples() -> DataFrame:
-        idf_df = idf if idf is not None else build_idf(sent_df)
-        idf_dict = collect_idf(idf_df, min_df=cfg.idf_min_df, max_entries=cfg.max_vocab)
-        # the embedding pull is capped by the token universe the scorer can
-        # ever look up (capped IDF vocab + predicate/ontology tokens; + KG
-        # object localnames for the rerank answer-sim channel) — on open web
-        # text the embeddings table is unbounded and an unfiltered collect
-        # is a driver OOM (collect_embeddings docstring).
-        vocab = scorer_vocab(
-            idf_dict,
-            kg_triples=kg_triples,
-            ontology=ontology,
-            include_object_localnames=(cfg.scorer == "rerank"),
-        )
-        emb_dict = collect_embeddings(embeddings, vocab=vocab)
+        if scorer_dicts is not None:
+            idf_dict, emb_dict = scorer_dicts
+        else:
+            # the embedding pull inside build_scorer_dicts is capped by the
+            # token universe the scorer can ever look up (capped IDF vocab +
+            # predicate/ontology tokens; + KG object localnames for the
+            # rerank answer-sim channel) — on open web text the embeddings
+            # table is unbounded and an unfiltered collect is a driver OOM
+            # (collect_embeddings docstring).
+            idf_df = idf if idf is not None else build_idf(sent_df)
+            idf_dict, emb_dict = build_scorer_dicts(
+                idf_df, kg_triples, ontology, embeddings, cfg
+            )
         scorer = make_scorer_udf(
             spark,
             emb_dict,

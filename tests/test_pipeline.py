@@ -23,6 +23,30 @@ def test_end_to_end_precision_recall(spark, corpus):
     assert pr["recall"] >= 0.95, pr
 
 
+def test_prebuilt_scorer_dicts_identical(spark, corpus):
+    """The production reuse seam: extract_triples with precomputed
+    (idf_dict, emb_dict) from build_scorer_dicts must produce byte-identical
+    triples to the self-building default — bench.py and incremental runs
+    rely on this equivalence."""
+    from predicate_finder_spark.operators.extract import extract_pages
+    from predicate_finder_spark.operators.mentions import explode_sentences
+    from predicate_finder_spark.operators.scoring import build_idf
+    from predicate_finder_spark.plans.pipeline import build_scorer_dicts
+
+    idf_df = build_idf(explode_sentences(extract_pages(corpus["pages"])))
+    dicts = build_scorer_dicts(
+        idf_df, corpus["kg_triples"], corpus["ontology"], corpus["embeddings"]
+    )
+    tri_pre = extract_triples(
+        spark, corpus["pages"], corpus["aliases"], corpus["kg_triples"],
+        corpus["ontology"], corpus["embeddings"], idf=idf_df, scorer_dicts=dicts,
+    )
+    tri_default = _run(spark, corpus)
+    a = sorted(map(tuple, tri_pre.collect()))
+    b = sorted(map(tuple, tri_default.collect()))
+    assert a == b
+
+
 def test_per_predicate_recall(spark, corpus):
     triples = _run(spark, corpus)
     rows = per_predicate_accuracy(triples, corpus["gold_triples"]).collect()
