@@ -640,19 +640,10 @@ def q54_embed_neardup(spark, sf):
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-def q55_kg_candidates(spark, sf):
-    """Flagship front half through the KG join, oracled end-to-end: mention
-    generation (real operator) -> alias equi-join + fused disambiguation/
-    containment windows -> consecutive-mention pairing -> both-direction KG
-    join with blacklist filter (operators/{mentions,linking,predicates}.py).
-
-    Inputs are derived deterministically from the documents table so DuckDB
-    can rebuild them exactly: the alias dictionary is the corpus's top-20
-    words (count desc, word asc), the KG is the md5-seeded 40% of ordered
-    top-word pairs under predicate coOccursWith, plus md5-seeded
-    wikiPageLink noise rows that the blacklist filter must drop — the
-    oracle generates NO noise rows, so equality proves the F2 filter fires.
-    The scorer window downstream stays rows-only (q40)."""
+def _q55_cands(spark, sf):
+    """Deterministic flagship-front-half candidate triples over the
+    documents table (shared by q55/q58/q59; derivation documented on
+    q55_kg_candidates)."""
     from predicate_finder_spark.operators.linking import link_mentions, resolve_mentions
     from predicate_finder_spark.operators.mentions import generate_mentions
     from predicate_finder_spark.operators.predicates import (
@@ -691,7 +682,23 @@ def q55_kg_candidates(spark, sf):
     mentions = generate_mentions(sent, max_n=1)
     resolved = resolve_mentions(link_mentions(mentions, aliases))
     pairs = pair_mentions(resolved, sent)
-    cands = candidate_predicates(pairs, kg.unionByName(kg_noise))
+    return candidate_predicates(pairs, kg.unionByName(kg_noise))
+
+
+def q55_kg_candidates(spark, sf):
+    """Flagship front half through the KG join, oracled end-to-end: mention
+    generation (real operator) -> alias equi-join + fused disambiguation/
+    containment windows -> consecutive-mention pairing -> both-direction KG
+    join with blacklist filter (operators/{mentions,linking,predicates}.py).
+
+    Inputs are derived deterministically from the documents table so DuckDB
+    can rebuild them exactly: the alias dictionary is the corpus's top-20
+    words (count desc, word asc), the KG is the md5-seeded 40% of ordered
+    top-word pairs under predicate coOccursWith, plus md5-seeded
+    wikiPageLink noise rows that the blacklist filter must drop — the
+    oracle generates NO noise rows, so equality proves the F2 filter fires.
+    The scorer window downstream stays rows-only (q40)."""
+    cands = _q55_cands(spark, sf)
     return cands.select(
         "url", "sent_id", "subj", "obj", "pred", "rule",
         F.array_join("rel_tokens", " ").alias("rel"),
@@ -725,6 +732,28 @@ def q57_approx_distinct(spark, sf):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def q58_graph_edges(spark, sf):
+    """Graph materialization, edge half (plans/pipeline.py
+    materialize_graph — the operator run_pipeline's graph sink uses):
+    edges(src, dst, pred, weight) over the deterministic q55 candidate
+    triples, weight = supporting-mention count.  One groupBy shuffle;
+    value-exact oracle closes the flagship's sink stage."""
+    from predicate_finder_spark.plans.pipeline import materialize_graph
+
+    _, edges = materialize_graph(_q55_cands(spark, sf))
+    return edges
+
+
+def q59_graph_vertices(spark, sf):
+    """Graph materialization, vertex half: distinct subj ∪ obj with
+    display label + type — the union-distinct dedup pattern at graph
+    scale (same operator as q58)."""
+    from predicate_finder_spark.plans.pipeline import materialize_graph
+
+    vertices, _ = materialize_graph(_q55_cands(spark, sf))
+    return vertices
 
 
 def q40_kg_pipeline(spark, sf):
@@ -799,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_kg_candidates": q55_kg_candidates,
         "q56_approx_quantiles": q56_approx_quantiles,
         "q57_approx_distinct": q57_approx_distinct,
+        "q58_graph_edges": q58_graph_edges,
+        "q59_graph_vertices": q59_graph_vertices,
     }
 
 
@@ -1279,7 +1310,7 @@ def oracle_sql() -> dict[str, str]:
         "(x, y) -> x * 16 + y)"
     )
     _ukg = _hex12.format(s="'kg|' || a.word || '|' || b.word")
-    sqls["q55_kg_candidates"] = f"""
+    _q55_sql = f"""
         WITH toks AS (
           SELECT doc_id::VARCHAR AS url,
                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -1316,6 +1347,20 @@ def oracle_sql() -> dict[str, str]:
                'coOccursWith' AS pred, oriented.rule, oriented.rel,
                round(0.81::DOUBLE, 4) AS pair_prior
         FROM oriented JOIN kg ON oriented.s = kg.s AND oriented.o = kg.o
+    """
+    sqls["q55_kg_candidates"] = _q55_sql
+    # q58/q59: materialize_graph over the same deterministic candidate set
+    # (the q55 SQL as a subquery) — edges = support-count groupBy, vertices
+    # = union-distinct of both endpoint columns
+    sqls["q58_graph_edges"] = f"""
+        SELECT subj AS src, obj AS dst, pred, count(*)::DOUBLE AS weight
+        FROM ({_q55_sql}) c
+        GROUP BY subj, obj, pred
+    """
+    sqls["q59_graph_vertices"] = f"""
+        WITH c AS ({_q55_sql}),
+        ids AS (SELECT subj AS id FROM c UNION SELECT obj AS id FROM c)
+        SELECT id, replace(id, '_', ' ') AS label, 'entity' AS type FROM ids
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

@@ -44,8 +44,11 @@ def main() -> None:
     from predicate_finder_spark.session import get_spark
     from predicate_finder_spark.synth import synth_corpus
 
+    sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     spark = get_spark(
-        app_name="pfs-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+        app_name="pfs-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(sp) if sp else 2 * cpus,
     )
     # warm the JVM + python workers so timings measure the queries
     spark.range(1_000_000).select(F.sum("id")).collect()
@@ -54,21 +57,35 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # --- flagship: KG pipeline end-to-end --------------------------------
-    t = synth_corpus(spark, n_pages)
-    # materialize the input and every dictionary OUTSIDE the timed window:
-    # the benchmark measures the engine, not the synthetic generator
-    pages = t["pages"].cache()
-    n_rows = pages.count()
-    dicts = {k: t[k].cache() for k in ("aliases", "kg_triples", "ontology", "embeddings")}
-    for d in dicts.values():
-        d.count()
-    # corpus-level scorer state (IDF table + the two driver dictionaries) is
-    # built ONCE here, outside the timed window, and reused by both timed
-    # runs — the production reuse seam (build_scorer_dicts docstring): on a
-    # real cluster these persist across incremental batches, so charging
-    # their rebuild to every run would measure the bootstrap, not the engine
-    idf_df = build_idf(explode_sentences(extract_pages(pages))).cache()
-    idf_df.count()
+    # Inputs and corpus-level dictionaries are materialized OUTSIDE the
+    # timed window: the benchmark measures the engine, not the synthetic
+    # generator or the one-time dictionary bootstrap (production reuse seam,
+    # build_scorer_dicts docstring).
+    corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR")
+    if corpus_dir:
+        # pre-materialized corpus (BENCH/prep_corpus.py): the timed window
+        # includes the parquet scan, exactly as a cluster job's would — the
+        # pages table is NOT pre-cached
+        def _rd(name):
+            return spark.read.parquet(os.path.join(corpus_dir, name))
+
+        pages = _rd("pages")
+        n_rows = pages.count()
+        t = {"gold_triples": _rd("gold_triples")}
+        dicts = {k: _rd(k).cache() for k in ("aliases", "kg_triples", "ontology", "embeddings")}
+        for d in dicts.values():
+            d.count()
+        idf_df = _rd("idf").cache()
+        idf_df.count()
+    else:
+        t = synth_corpus(spark, n_pages)
+        pages = t["pages"].cache()
+        n_rows = pages.count()
+        dicts = {k: t[k].cache() for k in ("aliases", "kg_triples", "ontology", "embeddings")}
+        for d in dicts.values():
+            d.count()
+        idf_df = build_idf(explode_sentences(extract_pages(pages))).cache()
+        idf_df.count()
     scorer_dicts = build_scorer_dicts(
         idf_df, dicts["kg_triples"], dicts["ontology"], dicts["embeddings"]
     )

@@ -30,8 +30,16 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
 
     if shuffle_partitions is None:
-        n = _parse_local_threads(master)
-        shuffle_partitions = max(2 * n, 8)
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp:
+            # scaling comparisons: on a real cluster the job config (and so
+            # the physical plan) is CONSTANT while executor count varies —
+            # pin the partition count across parallelism levels to mirror
+            # that (BENCH/scaling.py sets this for both legs)
+            shuffle_partitions = int(env_sp)
+        else:
+            n = _parse_local_threads(master)
+            shuffle_partitions = max(2 * n, 8)
 
     builder = (
         SparkSession.builder.appName(app_name)
