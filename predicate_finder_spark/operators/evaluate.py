@@ -18,9 +18,13 @@ def precision_recall(triples: DataFrame, gold: DataFrame) -> dict[str, float]:
     (P/R >= 0.95)."""
     pred = triples.select(*TRIPLE_KEY).distinct().cache()
     g = gold.select(*TRIPLE_KEY).distinct().cache()
-    n_pred = pred.count()
-    n_gold = g.count()
-    n_hit = pred.join(g, TRIPLE_KEY, "inner").count()
+    try:
+        n_pred = pred.count()
+        n_gold = g.count()
+        n_hit = pred.join(g, TRIPLE_KEY, "inner").count()
+    finally:
+        pred.unpersist()
+        g.unpersist()
     p = n_hit / n_pred if n_pred else 0.0
     r = n_hit / n_gold if n_gold else 0.0
     f1 = 2 * p * r / (p + r) if (p + r) else 0.0

@@ -39,14 +39,16 @@ def salted_join(
 
     ``salt_source``: a column of ``big`` that varies within a key group
     (e.g. url) so the salt is deterministic yet spreads each hot key over
-    ``buckets`` reducers.  Falls back to the concatenated join key +
-    partition-stable row id.
+    ``buckets`` reducers.  Without it the salt falls back to a hash of the
+    full row content — still deterministic under task retry (a
+    monotonically_increasing_id salt would not be: ids shift when a stage
+    is re-attempted, moving rows between reducers mid-job).
     """
-    salt_col = (
-        md5_bucket(F.concat_ws("", *(on + [salt_source])), buckets)
-        if salt_source
-        else F.pmod(F.spark_partition_id() * 7919 + F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
-    )
+    if salt_source:
+        salt_col = md5_bucket(F.concat_ws("", *(on + [salt_source])), buckets)
+    else:
+        row_repr = F.concat_ws("", *[F.col(c).cast("string") for c in big.columns])
+        salt_col = md5_bucket(row_repr, buckets)
     big_s = big.withColumn("__salt", salt_col)
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<int>"))

@@ -45,6 +45,25 @@ def test_salted_join_preserves_cardinality(spark, small):
     assert plain == salted > 0
 
 
+def test_salted_join_fallback_salt_is_stable(spark, small):
+    """Without salt_source the salt derives from row content (not
+    monotonically_increasing_id), so retries/replans can't reshuffle rows:
+    same cardinality as the plain join, and the salt actually spreads."""
+    gold = small["gold_triples"]
+    kg = small["kg_triples"]
+    probe = gold.select(F.col("subj").alias("s"), F.col("obj").alias("o"), "url")
+    plain = probe.join(kg, ["s", "o"]).count()
+    fb = salted_join(probe, kg, ["s", "o"], buckets=8)
+    assert fb.count() == plain > 0
+    # determinism: two independent evaluations agree row-for-row
+    assert fb.exceptAll(salted_join(probe, kg, ["s", "o"], buckets=8)).count() == 0
+    # the fallback salt must spread rows across buckets, not collapse to one
+    from predicate_finder_spark.functions.hashing import md5_bucket
+    row_repr = F.concat_ws("\x01", *[F.col(c).cast("string") for c in probe.columns])
+    n_salts = probe.select(md5_bucket(row_repr, 8).alias("s")).distinct().count()
+    assert n_salts >= 4
+
+
 def test_flagship_plan_shape(spark, small):
     """Plan regression guard: the flagship plan must keep dictionary joins
     broadcast and stay within the audited exchange budget (8 as of round 1;
