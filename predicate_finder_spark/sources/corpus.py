@@ -95,3 +95,42 @@ def write_tsv(df: DataFrame, path: str) -> None:
     df.select(*cols).write.mode("overwrite").option("sep", "\t").option(
         "header", True
     ).csv(path)
+
+
+def read_gold_questions(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's gold answer set: headerless TSV of
+    (question, entity, predicate) — data/gold_test.csv, produced by
+    pretreatment/QueryFilter.py:240-269 and consumed row-by-row by
+    xgboost/performance.py:5-12.  Column names align with
+    plans.questions.question_accuracy (qid = the question text: the
+    reference joins gold to results on item[0], the raw question)."""
+    df = read_tsv(spark, path, "qid string, entity string, pred string")
+    # python csv yields '' for empty fields; Spark yields null — normalize so
+    # equality comparisons count misses instead of dropping rows from avg()
+    return df.select(
+        F.coalesce("qid", F.lit("")).alias("qid"),
+        F.coalesce("entity", F.lit("")).alias("entity"),
+        F.coalesce("pred", F.lit("")).alias("pred"),
+    )
+
+
+def read_baseline_results(spark: SparkSession, path: str) -> DataFrame:
+    """The reference baseline scorer's emitted answers: comma CSV with a
+    header and rows (query, entity, predicate, score, sparql) —
+    data/new_base_all_result.csv, written by baseline/baseline.py:96-169.
+    quote/escape mirror python csv's doubled-quote convention so questions
+    containing commas parse identically."""
+    schema = "qid string, entity string, pred string, score double, sparql string"
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    return df.select(
+        F.coalesce("qid", F.lit("")).alias("qid"),
+        F.coalesce("entity", F.lit("")).alias("entity"),
+        F.coalesce("pred", F.lit("")).alias("pred"),
+        "score",
+    )
