@@ -88,10 +88,15 @@ def _load_model(model_bytes: bytes | None, framework: str):
 # Fixed deterministic fc weights over the 8 channel-pair cosines.  The
 # syntax-forward vs syntax-backward asymmetry (0.30 vs -0.10) is what makes
 # path DIRECTION matter — the reference's BiLSTM learns exactly this kind of
-# asymmetry from its two directional hidden states.
+# asymmetry from its two directional hidden states.  These are the
+# no-model FALLBACK; operators/train.py fit_matcher learns the channel
+# weighting from labeled candidates (the sandbox analog of the reference's
+# mgnn/train.py:116-217 fc training) and the fitted bytes plug in via
+# make_matcher_udf(model_bytes=...).
 _MATCHER_W = np.array([0.25, 0.10, 0.30, -0.10, 0.15, 0.05, 0.10, 0.05])
 _MATCHER_B = -0.2
 _MATCHER_GAMMA = 0.7
+N_MATCHER_CHANNELS = 8
 
 
 def _directional_means(vs: list, present: list[bool]) -> tuple:
@@ -123,19 +128,17 @@ def _cos(a, b) -> float:
     return float(a @ b) / (na * nb + 1e-9)
 
 
-def matcher_forward(
+def matcher_channel_features(
     emb: dict[str, np.ndarray],
     query: list[str],
     syntax: list[str],
     hier: list[str],
     rel: list[str],
-) -> float:
-    """Numpy forward pass of the reference's 4-channel matcher
-    (mgnn/mgnn.py:98-125): embed each channel, encode query/syntax
-    direction-sensitively, mean-pool hier/rel, concatenate the channel
-    interactions, fc + sigmoid.  Deterministic fixed weights (torch is not
-    in this sandbox; the channel semantics — not the learned values — are
-    what the engine needs)."""
+) -> np.ndarray:
+    """The matcher's 8 channel-interaction cosines — the feature vector the
+    reference's MGNN fc layer consumes (mgnn/mgnn.py:98-125: embed each
+    channel, encode query/syntax direction-sensitively, mean-pool hier/rel,
+    concatenate the channel interactions)."""
 
     def embed(tokens):
         vs, present = [], []
@@ -154,21 +157,54 @@ def matcher_forward(
     s_f, s_b = _directional_means(*embed(syntax))
     h = mean(hier)
     r = mean(rel)
-    feats = np.array([
+    return np.array([
         _cos(q_f, r), _cos(q_b, r),
         _cos(s_f, r), _cos(s_b, r),
         _cos(h, r),
         _cos(q_f, h), _cos(s_f, h), _cos(q_b, s_b),
     ])
-    z = float(feats @ _MATCHER_W) + _MATCHER_B
+
+
+def matcher_forward(
+    emb: dict[str, np.ndarray],
+    query: list[str],
+    syntax: list[str],
+    hier: list[str],
+    rel: list[str],
+    w: np.ndarray | None = None,
+    b: float | None = None,
+) -> float:
+    """Numpy forward pass of the reference's 4-channel matcher: channel
+    features -> fc + sigmoid.  ``w``/``b`` default to the deterministic
+    hand-fixed fallback; pass weights fitted by operators/train.py
+    fit_matcher for validated rankings (mgnn/train.py:116-217 analog)."""
+    feats = matcher_channel_features(emb, query, syntax, hier, rel)
+    wv = _MATCHER_W if w is None else w
+    bv = _MATCHER_B if b is None else b
+    z = float(feats @ wv) + bv
     return 1.0 / (1.0 + np.exp(-z))
 
 
-def make_matcher_udf(spark: SparkSession, emb: dict[str, np.ndarray]):
+def _as_lists(*series):
+    for row in zip(*series):
+        yield [list(x) if x is not None else [] for x in row]
+
+
+def make_matcher_udf(
+    spark: SparkSession,
+    emb: dict[str, np.ndarray],
+    model_bytes: bytes | None = None,
+):
     """M1 as an Arrow-batched pandas UDF over the four channel columns
     (query tokens, syntax path, hier labels, predicate words).  The
-    embedding dict broadcasts once per executor."""
+    embedding dict broadcasts once per executor.  ``model_bytes``:
+    serialized fitted fc weights (train.fit_matcher); None uses the
+    hand-weight fallback."""
     emb_bc = spark.sparkContext.broadcast(emb)
+    if model_bytes is not None:
+        w_fit, b_fit = deserialize_linear_model(model_bytes)
+    else:
+        w_fit, b_fit = None, None
 
     @F.pandas_udf(T.DoubleType())
     def matcher_udf(
@@ -176,18 +212,32 @@ def make_matcher_udf(spark: SparkSession, emb: dict[str, np.ndarray]):
     ) -> pd.Series:
         E = emb_bc.value
         out = [
-            matcher_forward(
-                E,
-                list(q) if q is not None else [],
-                list(s) if s is not None else [],
-                list(h) if h is not None else [],
-                list(r) if r is not None else [],
-            )
-            for q, s, h, r in zip(query, syntax, hier, rel)
+            matcher_forward(E, q, s, h, r, w=w_fit, b=b_fit)
+            for q, s, h, r in _as_lists(query, syntax, hier, rel)
         ]
         return pd.Series(out, dtype="float64")
 
     return matcher_udf
+
+
+def make_matcher_features_udf(spark: SparkSession, emb: dict[str, np.ndarray]):
+    """The 8 channel cosines as array<double> — the training-data side of
+    the matcher loop: distributed channel-feature extraction feeding the
+    single-node fc fit (train.fit_matcher)."""
+    emb_bc = spark.sparkContext.broadcast(emb)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def matcher_features_udf(
+        query: pd.Series, syntax: pd.Series, hier: pd.Series, rel: pd.Series
+    ) -> pd.Series:
+        E = emb_bc.value
+        out = [
+            matcher_channel_features(E, q, s, h, r).tolist()
+            for q, s, h, r in _as_lists(query, syntax, hier, rel)
+        ]
+        return pd.Series(out)
+
+    return matcher_features_udf
 
 
 def make_rerank_udf(

@@ -31,8 +31,11 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 
+from pyspark.sql import functions as F
+
 from predicate_finder_spark.operators.models import (
     FEATURE_COLS,
+    N_MATCHER_CHANNELS,
     serialize_linear_model,
 )
 
@@ -61,11 +64,13 @@ def fit_linear_reranker(
 
     mu = X.mean(axis=0)
     sd = X.std(axis=0)
-    # a constant feature's std can come back as ~1e-17 instead of exactly 0
-    # (summation-order noise); dividing by it would explode the refolded
-    # raw-space weight, so treat near-zero (relative to the mean's scale)
-    # as constant
-    sd[sd <= 1e-12 * np.maximum(1.0, np.abs(mu))] = 1.0
+    # a near-constant feature's std can come back as ~1e-17..1e-8 instead of
+    # exactly 0 (summation-order noise, or a channel that genuinely barely
+    # varies); dividing by it standardizes NOISE up to signal scale and
+    # explodes the refolded raw-space weight, so treat anything below 1e-6
+    # of the mean's scale as constant (its weight then contributes only a
+    # constant offset — rank-neutral)
+    sd[sd <= 1e-6 * np.maximum(1.0, np.abs(mu))] = 1.0
     Xs = (X - mu) / sd
     Xa = np.hstack([Xs, np.ones((len(Xs), 1))])
 
@@ -88,3 +93,28 @@ def fit_linear_reranker(
     w_raw = ws / sd
     b_raw = bs - float((ws * mu / sd).sum())
     return serialize_linear_model(w_raw, b_raw)
+
+
+def fit_matcher(
+    train: DataFrame,
+    channels_col: str = "channels",
+    label_col: str = "label",
+    l2: float = 1e-2,
+) -> bytes:
+    """Fit the matcher's fc layer on labeled channel-feature rows — the
+    sandbox analog of the reference's MGNN training loop
+    (mgnn/train.py:116-217: BCE over the fc output on positive/negative
+    question-predicate pairs).  ``channels_col`` holds the 8 channel
+    cosines (models.make_matcher_features_udf); the fit reuses the IRLS
+    logistic solver, and the returned bytes plug into
+    models.make_matcher_udf(model_bytes=...).
+
+    Same bounded-collect contract as fit_linear_reranker: callers feed it
+    negative-sampled rows (O(#questions), never corpus-sized).
+    """
+    cols = [f"m{i}" for i in range(N_MATCHER_CHANNELS)]
+    wide = train.select(
+        *[F.col(channels_col)[i].alias(c) for i, c in enumerate(cols)],
+        label_col,
+    )
+    return fit_linear_reranker(wide, feature_cols=cols, label_col=label_col, l2=l2)

@@ -93,6 +93,7 @@ def extract_triples(
     idf: DataFrame | None = None,
     rerank_model: bytes | None = None,
     rerank_framework: str = "linear",
+    matcher_model: bytes | None = None,
     scorer_dicts: tuple[dict, dict] | None = None,
 ) -> DataFrame:
     """Full extraction plan; returns the triples DataFrame (lazy unless
@@ -119,12 +120,13 @@ def extract_triples(
     if cfg.scorer not in ("baseline", "rerank"):
         raise ValueError(f"unknown scorer {cfg.scorer!r}; use 'baseline' or 'rerank'")
     ch = cfg.config_hash()
-    if rerank_model is not None:
-        # the model is part of the output's identity: a stage checkpoint
+    if rerank_model is not None or matcher_model is not None:
+        # the models are part of the output's identity: a stage checkpoint
         # written under one model must not be resumed under another
         import hashlib as _hashlib
 
-        ch = ch[:8] + _hashlib.md5(rerank_model).hexdigest()[:8]
+        mh = _hashlib.md5((rerank_model or b"") + b"|" + (matcher_model or b""))
+        ch = ch[:8] + mh.hexdigest()[:8]
     cp = cfg.checkpoint_dir
 
     def stage(name: str, fn, inputs: list[str] | None = None, input_dfs=None) -> DataFrame:
@@ -229,7 +231,7 @@ def extract_triples(
             from predicate_finder_spark.operators.syntax import make_syntax_path_udf
 
             syn = make_syntax_path_udf()
-            matcher = make_matcher_udf(spark, emb_dict)
+            matcher = make_matcher_udf(spark, emb_dict, model_bytes=matcher_model)
             with_channels = scored.withColumn(
                 "syntax_path",
                 syn(

@@ -222,3 +222,45 @@ def question_accuracy(answers: DataFrame, gold: DataFrame) -> dict[str, float]:
         F.count(F.lit(1)).alias("n"),
     ).first()
     return {k: float(agg[k]) for k in ("exact", "entity_acc", "pred_acc", "n")}
+
+
+def question_matcher_channels(
+    spark: SparkSession,
+    cands: DataFrame,
+    ontology: DataFrame,
+    emb: dict,
+) -> DataFrame:
+    """Attach the M1 matcher's four channels + their 8 interaction cosines
+    to question candidates (mgnn/test.py:24-91 assembles the same four
+    inputs per candidate): query channel = rel_tokens, syntax channel =
+    dependency path across the rel span, hier channel = ontology labels of
+    the candidate predicate, rel channel = predicate camel words.
+
+    Output adds ``syntax_path``, ``hier``, ``channels`` (array<double>[8],
+    models.make_matcher_features_udf).  The ontology side aggregates to one
+    row per predicate, then joins broadcast — dictionary-sized.
+    """
+    from predicate_finder_spark.operators.models import make_matcher_features_udf
+    from predicate_finder_spark.operators.syntax import make_syntax_path_udf
+
+    onto = ontology.groupBy("predicate").agg(
+        F.flatten(F.collect_list(F.split("label", " "))).alias("hier")
+    )
+    syn = make_syntax_path_udf()
+    feats_udf = make_matcher_features_udf(spark, emb)
+    return (
+        cands.join(
+            F.broadcast(onto), cands["pred"] == onto["predicate"], "left"
+        )
+        .drop("predicate")
+        .withColumn("hier", F.coalesce("hier", F.array().cast("array<string>")))
+        .withColumn(
+            "syntax_path",
+            syn(F.col("rel_tokens"), F.lit(0),
+                F.greatest(F.size("rel_tokens") - 1, F.lit(0))),
+        )
+        .withColumn(
+            "channels",
+            feats_udf("rel_tokens", "syntax_path", "hier", "pred_tokens"),
+        )
+    )
