@@ -40,8 +40,10 @@ def test_feature_extraction_deterministic(media):
 
 
 def test_strict_without_decoder_raises(media):
-    with pytest.raises(NotImplementedError):
-        extract_media_features(media, strict=True)
+    # the fixture payloads are NOT valid PNG/WAV (truncated magic), so under
+    # strict=True the per-row dispatch must refuse to fake features
+    with pytest.raises(Exception, match="no codec"):
+        extract_media_features(media, strict=True).collect()
 
 
 def test_custom_decoder_plugs_in(media):
@@ -57,3 +59,81 @@ def test_frame_sample_plan(media):
     got = frame_sample_plan(media, every_ms=1000).collect()
     ms = sorted(r["sample_ms"] for r in got if r["media_id"] == "m3")
     assert ms == [0, 1000, 2000, 3000]
+
+
+def _real_png(width=5, height=3):
+    """A fully valid PNG built with stdlib only (zlib + crc32): IHDR, one
+    IDAT of grayscale scanlines, IEND."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(range(width)) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_wav(n_frames=800, rate=8000, amp=1000):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", int(amp * math.sin(2 * math.pi * 440 * i / rate)))
+            for i in range(n_frames)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_stdlib_decoders(spark):
+    """VERDICT-r3 item 6: real payloads decode through the stdlib codecs —
+    actual dimensions out of a real PNG, actual rate/duration/RMS out of a
+    real WAV — while an undecodable payload still uses the stub."""
+    rows = [
+        ("png1", bytearray(_real_png(5, 3)), None),
+        ("wav1", bytearray(_real_wav(800, 8000)), None),
+        ("mp41", bytearray(b"\x00\x00\x00\x18ftypmp42"), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, payload binary, "
+        "meta struct<mime:string, width:int, height:int, duration_ms:int>",
+    )
+    by_id = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    png = by_id["png1"]
+    assert png["decoder"] == "png"
+    assert png["feature"][:5] == [1.0, 5.0, 3.0, 8.0, 0.0]  # w, h, depth, gray
+    wav = by_id["wav1"]
+    assert wav["decoder"] == "wav"
+    kind, nch, rate, frames, dur, sw, rms = wav["feature"][:7]
+    assert (kind, nch, rate, frames, sw) == (2.0, 1.0, 8000.0, 800.0, 2.0)
+    assert abs(dur - 0.1) < 1e-6
+    assert 600 < rms < 800  # sine at amp 1000 -> rms ~ 707
+    assert by_id["mp41"]["decoder"] == "stub"
+
+
+def test_strict_passes_on_real_payloads(spark):
+    media = spark.createDataFrame(
+        [("p", bytearray(_real_png()), None)],
+        "media_id string, payload binary, "
+        "meta struct<mime:string, width:int, height:int, duration_ms:int>",
+    )
+    out = extract_media_features(media, strict=True).collect()
+    assert out[0]["decoder"] == "png"
