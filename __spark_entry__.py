@@ -31,7 +31,7 @@ from predicate_finder_spark.functions.hashing import (
     rolling_fingerprint,
     word_shingles,
 )
-from predicate_finder_spark.operators.ann import brute_force_topk
+from predicate_finder_spark.operators.ann import brute_force_topk, build_ivf_cells, ivf_topk
 from predicate_finder_spark.operators.joins import salted_join
 
 STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "was", "that", "it")
@@ -756,6 +756,41 @@ def q59_graph_vertices(spark, sf):
     return vertices
 
 
+def q60_ivf_topk(spark, sf):
+    """IVF ANN under the oracle gate (VERDICT-r3 item 4): deterministic
+    seeded centroids (8 lowest-id vectors), broadcast-argmin assignment,
+    n_probe=2 cell equi-join, exact top-5 within the probed cells
+    (operators/ann.py:59-172).  Every stage is md5/argmax arithmetic, so
+    the FULL approximate path is value-exact SQL-expressible — recall vs
+    brute force is covered separately by tests/test_ann.py."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids, assigned = build_ivf_cells(e, n_cells=8)
+    top = ivf_topk(assigned, centroids, q, k=5, n_probe=2)
+    return top.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q61_curation(spark, sf):
+    """Composed curation pipeline (plans/curation.py curate_docs) under the
+    value-exact gate: quality gate (>= 0.5) -> language gate (en) -> exact
+    dedup (min doc_id per md5) -> MinHash-LSH near-dup dedup (16 hashes, 4
+    bands, Jaccard-verified at 0.8).  The oracle replicates every stage in
+    SQL including the LSH banding, so the scale path itself — not just its
+    ingredients — is value-checked."""
+    from predicate_finder_spark.plans.curation import curate_docs
+
+    d = _t(spark, sf, "documents")
+    kept = curate_docs(
+        d, min_quality=0.5, langs=("en",), near_dup="minhash",
+        near_dup_threshold=0.8,
+    )
+    return kept.select("doc_id", "quality", "lang_pred")
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -830,6 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_approx_distinct": q57_approx_distinct,
         "q58_graph_edges": q58_graph_edges,
         "q59_graph_vertices": q59_graph_vertices,
+        "q60_ivf_topk": q60_ivf_topk,
+        "q61_curation": q61_curation,
     }
 
 
@@ -1361,6 +1398,120 @@ def oracle_sql() -> dict[str, str]:
         WITH c AS ({_q55_sql}),
         ids AS (SELECT subj AS id FROM c UNION SELECT obj AS id FROM c)
         SELECT id, replace(id, '_', ' ') AS label, 'entity' AS type FROM ids
+    """
+    sqls["q60_ivf_topk"] = """
+        WITH seeds AS (
+          SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+                 embedding::DOUBLE[] AS centroid
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+        ), cent AS (
+          SELECT list(centroid ORDER BY cell_id ASC) AS cl FROM seeds
+        ), sims AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                 list_transform((SELECT cl FROM cent),
+                                c -> list_cosine_similarity(e.embedding::DOUBLE[], c)) AS s
+          FROM embeddings e
+        ), assigned AS (
+          SELECT vec_id, v, list_position(s, list_aggregate(s, 'max')) - 1 AS cell_id FROM sims
+        ), q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3
+        ), qcell AS (
+          SELECT q.query_id, q.qv, s.cell_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, s.centroid) DESC, s.cell_id ASC) AS rc
+          FROM q, seeds s
+        ), probe AS (
+          SELECT query_id, qv, cell_id FROM qcell WHERE rc <= 2
+        ), scored AS (
+          SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, p.qv) AS c
+          FROM assigned a JOIN probe p USING (cell_id)
+        ), r AS (
+          SELECT query_id, vec_id, c,
+                 row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, rank, round(c, 4) AS cosine FROM r WHERE rank <= 5
+    """
+    _langs5 = {lang: "('" + "','".join(LANG_PROFILES[lang]) + "')"
+               for lang in LANG_PROFILES}
+    sqls["q61_curation"] = f"""
+        WITH t AS (
+          SELECT doc_id, text, list_transform({_TOK}, x -> lower(x)) AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, toks,
+                 len(toks) AS n,
+                 len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS alpha,
+                 len(list_filter(toks, x -> x IN {_estop})) AS stop,
+                 CASE WHEN len(toks) > 0
+                      THEN list_sum(list_transform(toks, x -> len(x))) / len(toks)::DOUBLE
+                      ELSE 0.0 END AS mean_len,
+                 len(list_filter(toks, x -> x IN {_langs5['en']})) AS h_en,
+                 len(list_filter(toks, x -> x IN {_langs5['de']})) AS h_de,
+                 len(list_filter(toks, x -> x IN {_langs5['fr']})) AS h_fr,
+                 len(list_filter(toks, x -> x IN {_langs5['es']})) AS h_es,
+                 len(list_filter(toks, x -> x IN {_langs5['zh']})) AS h_zh
+          FROM t
+        ), q AS (
+          SELECT doc_id, text,
+                 round((least(n / 100.0, 1.0)
+                        + CASE WHEN n > 0 THEN alpha / n::DOUBLE ELSE 0.0 END
+                        + least((CASE WHEN n > 0 THEN stop / n::DOUBLE ELSE 0.0 END) * 4.0, 1.0)
+                        + CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.5 END
+                       ) / 4.0, 6) AS quality,
+                 CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+                      WHEN h_en = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'en'
+                      WHEN h_de = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'de'
+                      WHEN h_fr = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'fr'
+                      WHEN h_es = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'es'
+                      ELSE 'zh' END AS lang_pred
+          FROM s
+        ), gate AS (
+          SELECT doc_id, text, quality, lang_pred FROM q
+          WHERE quality >= 0.5 AND lang_pred = 'en'
+        ), ex AS (
+          SELECT doc_id, text, quality, lang_pred,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+          FROM gate
+        ), kept AS (
+          SELECT doc_id, text, quality, lang_pred FROM ex WHERE rn = 1
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len({_TOK}) >= 3
+                      THEN list_distinct(list_transform(range(0, len({_TOK}) - 2),
+                           i -> {_TOK}[i + 1] || ' ' || {_TOK}[i + 2] || ' ' || {_TOK}[i + 3]))
+                      ELSE [array_to_string({_TOK}, ' ')] END AS shingles
+          FROM kept JOIN (SELECT doc_id, text AS dtext FROM documents) d USING (doc_id)
+        ), e AS (
+          SELECT DISTINCT doc_id, unnest(shingles) AS sg FROM sh
+        ), sig AS (
+          SELECT doc_id, seed::INT AS seed, min(md5(sg || '#' || seed)) AS h
+          FROM e, range(0, 16) r(seed)
+          GROUP BY doc_id, seed
+        ), band AS (
+          SELECT doc_id, seed // 4 AS b, string_agg(h, '|' ORDER BY seed) AS bkey
+          FROM sig GROUP BY doc_id, seed // 4
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM band a JOIN band c ON a.b = c.b AND a.bkey = c.bkey
+                                 AND a.doc_id < c.doc_id
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM e GROUP BY doc_id
+        ), ver AS (
+          SELECT id_a, id_b
+          FROM (
+            SELECT cand.id_a, cand.id_b, count(*) AS n_inter
+            FROM cand
+            JOIN e ea ON ea.doc_id = cand.id_a
+            JOIN e eb ON eb.doc_id = cand.id_b AND eb.sg = ea.sg
+            GROUP BY cand.id_a, cand.id_b
+          ) i
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b
+          WHERE n_inter / (na.nsh + nb.nsh - n_inter) >= 0.8
+        )
+        SELECT doc_id, quality, lang_pred FROM kept
+        WHERE doc_id NOT IN (SELECT id_b FROM ver)
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

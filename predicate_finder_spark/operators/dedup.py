@@ -138,6 +138,14 @@ def minhash_lsh_pairs(
     pairs = _pair_frame(docs, id_col, keyed)
     if verify_threshold is None:
         return pairs
+    # materialize the candidate ids before the verify joins: the pair frame
+    # is two id columns (tiny — LSH already blocked), but left lazy its
+    # banding subtree (signature + explode + self-join over the full corpus)
+    # would be RE-EXECUTED inside each verify join branch — measured 13x
+    # slower at 2k docs, and at 100 TB it would mean extra full corpus
+    # passes.  Persist-at-the-narrow-waist is the standard shape: candidates
+    # are O(pairs), never O(corpus).
+    pairs = pairs.persist()
     # same shingle universe as ngram_jaccard_pairs (word_shingles is
     # already distinct), so the jaccard values are identical
     sets = docs.select(F.col(id_col).alias("id"), shing.alias("sh"))

@@ -1,0 +1,125 @@
+"""Training-data curation pipeline: the LLM-data operators composed the way
+a corpus user runs them — quality filter -> language filter -> exact dedup
+-> near-dup dedup -> (optionally) KG extraction on the survivors.
+
+Every stage is one of the first-class operators (functions/analysis.py,
+operators/dedup.py, plans/pipeline.py); this module only sequences them,
+so each stage keeps its audited 100 TB shape:
+
+- quality/lang are single codegen'd column expressions (no shuffle);
+- exact dedup shuffles 16-byte md5 keys, not documents;
+- near-dup candidates come from MinHash-LSH band equi-joins (blocked, no
+  pairwise scan), verified on the candidate pairs only;
+- the victim drop is a left_anti equi-join on the id.
+
+Deterministic victim policy: for every verified near-dup pair (id_a, id_b)
+with id_a < id_b, the HIGHER id loses.  Transitive clusters therefore keep
+exactly their minimum id (any non-minimum member pairs with the minimum or
+with another smaller member, so it is someone's id_b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.functions.analysis import lang_id, quality_score
+from predicate_finder_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+
+def curate_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    near_dup: str | None = "minhash",
+    near_dup_threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Return the surviving rows of ``docs`` (original schema plus
+    ``quality`` and ``lang_pred``), after:
+
+    1. quality_score(text) >= min_quality   (C4-style heuristics)
+    2. lang_id(text) in langs               (stopword-profile argmax)
+    3. exact dedup                          (lowest id per md5(text))
+    4. near-dup dedup: ``near_dup`` = 'minhash' (MinHash-LSH blocked
+       candidates, Jaccard-verified — the scale path), 'jaccard' (exact
+       inverted-index pairs — the oracle-friendly exact path), or None.
+    """
+    kept = (
+        docs.withColumn("quality", F.round(quality_score(F.col(text_col)), 6))
+        .withColumn("lang_pred", lang_id(F.col(text_col)))
+        .filter(
+            (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
+        )
+    )
+    kept = exact_dedup(kept, id_col=id_col, text_col=text_col)
+    if near_dup is None:
+        return kept
+    # the survivors frame feeds four consumers in the near-dup stage (band
+    # keys, both verify sides, and the final anti-join's left side); left
+    # lazy, the gate+dedup subtree re-executes once per consumer.  Persist
+    # at the stage boundary (MEMORY_AND_DISK — spills, never OOMs); on a
+    # cluster-scale run the equivalent seam is a checkpointed stage table
+    # (sources/tables.py), which run_pipeline uses.
+    from pyspark import StorageLevel
+
+    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    if near_dup == "minhash":
+        pairs = minhash_lsh_pairs(
+            kept, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+            num_hashes=num_hashes, bands=bands,
+            verify_threshold=near_dup_threshold,
+        )
+    elif near_dup == "jaccard":
+        pairs = ngram_jaccard_pairs(
+            kept, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+            threshold=near_dup_threshold, max_shingle_df=max_shingle_df,
+        )
+    else:
+        raise ValueError(f"unknown near_dup mode {near_dup!r}")
+    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return kept.join(victims, id_col, "left_anti")
+
+
+def curate_and_extract(
+    spark,
+    pages: DataFrame,
+    aliases: DataFrame,
+    kg_triples: DataFrame,
+    ontology: DataFrame,
+    embeddings: DataFrame,
+    cfg=None,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en", "und"),
+    **extract_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """Curation composed with the flagship KG extraction: curate the pages
+    corpus, then run plans.pipeline.extract_triples on the survivors only.
+
+    Returns (curated_pages, triples).  The default gates are permissive on
+    purpose (min_quality 0.3, 'und' allowed): page prose is short, and the
+    curation front-end exists to drop junk/duplicate pages, not to shrink a
+    clean corpus.  Curated pages keep only the pipeline's input columns —
+    quality/lang annotations don't ride through the extraction shuffles.
+    """
+    from predicate_finder_spark.plans.pipeline import extract_triples
+
+    curated = curate_docs(
+        pages, id_col="url", text_col="text",
+        min_quality=min_quality, langs=langs,
+    )
+    clean = curated.select(*pages.columns)
+    triples = extract_triples(
+        spark, clean, aliases, kg_triples, ontology, embeddings, cfg,
+        **extract_kwargs,
+    )
+    return curated, triples

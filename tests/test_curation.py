@@ -1,0 +1,99 @@
+"""Curation pipeline: quality/lang gates, exact + near-dup dedup, and the
+compose with KG extraction (curated corpus -> unchanged P/R)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.operators.evaluate import precision_recall
+from predicate_finder_spark.plans.curation import curate_and_extract, curate_docs
+from predicate_finder_spark.synth import synth_corpus
+
+ALL_LANGS = ("en", "und", "de", "fr", "es", "zh")
+
+
+def test_quality_and_lang_gates(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to the hills in a day"),
+        (2, "zzzz qqqq ### ~~~~ !!!! 0000 xxxx yyyy"),
+        (3, "le chat est sur la table et le chien est dans le jardin avec des fleurs"),
+        (4, "the small cat is on the mat and it was happy that the sun is warm today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    kept = curate_docs(
+        docs, min_quality=0.3, langs=("en",), near_dup=None
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 4]
+    got = {r["doc_id"]: r for r in kept.collect()}
+    assert all(got[i]["lang_pred"] == "en" and got[i]["quality"] >= 0.3 for i in ids)
+
+
+def test_exact_and_near_dup_dedup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup -> dropped
+        (3, base.replace("mu", "nu")),              # near dup  -> dropped
+        (4, "one two three four five six seven eight nine ten eleven twelve"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    for mode in ("minhash", "jaccard"):
+        kept = curate_docs(
+            docs, min_quality=0.0, langs=ALL_LANGS, near_dup=mode,
+            near_dup_threshold=0.5,
+        )
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert ids == [1, 4], (mode, ids)
+
+
+def test_curate_then_extract_keeps_pr(spark):
+    """VERDICT-r3 item 7: the composed flow — junk and duplicate pages are
+    dropped by curation, extraction runs on the survivors only, and P/R vs
+    the ORIGINAL gold is unchanged (1.0)."""
+    t = synth_corpus(spark, 60)
+    pages = t["pages"]
+    # pollute the corpus: an exact duplicate page, a near-duplicate page,
+    # and a junk page (none carry gold triples -> gold is unchanged)
+    first = pages.orderBy("url").first()
+
+    def _page(url, text):
+        d = first.asDict()
+        d.update(url=url, text=text)
+        return tuple(d[c] for c in pages.columns)
+
+    junk = spark.createDataFrame(
+        [
+            _page("zz_dup_exact", first["text"]),
+            _page("zz_dup_near", first["text"] + " extra trailing note"),
+            _page("zz_junk", "@@@@@@@@@@@ ###########"),
+        ],
+        pages.schema,
+    )
+    polluted = pages.unionByName(junk)
+    curated, triples = curate_and_extract(
+        spark, polluted, t["aliases"], t["kg_triples"], t["ontology"],
+        t["embeddings"],
+        min_quality=0.15, langs=ALL_LANGS,
+    )
+    kept_urls = {r["url"] for r in curated.select("url").collect()}
+    # originals all survive; every injected page is dropped
+    assert "zz_dup_exact" not in kept_urls      # exact dedup (same text, higher url)
+    assert "zz_dup_near" not in kept_urls       # minhash near-dup
+    assert "zz_junk" not in kept_urls           # quality gate
+    # originals may legitimately dedup against each other (the synth corpus
+    # contains repeated noise pages), but never at the cost of gold: every
+    # dropped original must be gold-free
+    orig_urls = {r["url"] for r in pages.select("url").collect()}
+    gold_urls = {r["url"] for r in t["gold_triples"].select("url").distinct().collect()}
+    assert kept_urls < orig_urls | {"zz"}  # no invented rows
+    assert (orig_urls - kept_urls).isdisjoint(gold_urls)
+    pr = precision_recall(triples, t["gold_triples"])
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
+
+
+def test_bad_near_dup_mode_raises(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="near_dup"):
+        curate_docs(docs, near_dup="bogus")
