@@ -22,7 +22,7 @@ import time
 N = 40_000_000  # 3 arrays x 320 MB double = ~1 GB working set per process
 
 
-def _triad(q) -> None:
+def _triad(q, barrier) -> None:
     import numpy as np
 
     a = np.zeros(N)
@@ -30,6 +30,10 @@ def _triad(q) -> None:
     c = np.full(N, 2.0)
     # warm page-in
     a[:] = b + 1.5 * c
+    # synchronize: all P processes enter the timed region together, else
+    # start skew lets slower procs run partially alone and the summed
+    # per-process rates overstate the true aggregate bandwidth
+    barrier.wait()
     reps = 3
     t0 = time.time()
     for _ in range(reps):
@@ -41,7 +45,8 @@ def _triad(q) -> None:
 
 def run(p: int) -> float:
     q = mp.Queue()
-    procs = [mp.Process(target=_triad, args=(q,)) for _ in range(p)]
+    barrier = mp.Barrier(p)
+    procs = [mp.Process(target=_triad, args=(q, barrier)) for _ in range(p)]
     for pr in procs:
         pr.start()
     rates = [q.get() for _ in procs]

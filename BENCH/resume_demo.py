@@ -14,7 +14,7 @@ once on this box):
      commits (default: linked_mentions — so candidates + triples are
      mid-flight or unstarted when the axe falls)
   B. identical rerun, same checkpoint dir -> must resume: stages
-     committed in A keep their ``committed_at`` byte-for-byte (proof the
+     committed in A keep their ``_manifest.json`` md5 byte-for-byte (proof the
      work was reused, not redone), later stages recompute, run completes
   C. clean run, fresh directories (ground truth, no checkpointing noise)
 
@@ -29,6 +29,7 @@ Usage:  RESUME_PAGES=400000 python BENCH/resume_demo.py
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -56,18 +57,23 @@ def _env() -> dict:
 
 
 def _manifests(ckpt: str) -> dict[str, str]:
-    """stage -> committed_at for every committed stage manifest."""
+    """stage -> md5 of the FULL _manifest.json bytes (not just
+    committed_at: a recompute landing within timestamp granularity would
+    falsely count as reused under a committed_at-only compare)."""
     out = {}
     if not os.path.isdir(ckpt):
         return out
     for stage in sorted(os.listdir(ckpt)):
         mp = os.path.join(ckpt, stage, "_manifest.json")
         if os.path.exists(mp):
+            with open(mp, "rb") as f:
+                raw = f.read()
             try:
-                with open(mp) as f:
-                    out[stage] = json.load(f)["committed_at"]
-            except (json.JSONDecodeError, KeyError):
+                json.loads(raw)
+            except json.JSONDecodeError:
                 out[stage] = "<torn>"
+            else:
+                out[stage] = hashlib.md5(raw).hexdigest()
     return out
 
 
