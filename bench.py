@@ -90,11 +90,18 @@ def main() -> None:
         idf_df, dicts["kg_triples"], dicts["ontology"], dicts["embeddings"]
     )
 
+    # the synthetic kg dictionary is built distinct (synth.build_kg) — skip
+    # the per-run dictionary-wide distinct shuffle, as a production deploy
+    # with an ingest-deduped KG would
+    from predicate_finder_spark.config import PipelineConfig
+
+    bench_cfg = PipelineConfig(kg_prededuped=True)
+
     def run_pipeline():
         t0 = time.time()
         tri = extract_triples(
             spark, pages, dicts["aliases"], dicts["kg_triples"],
-            dicts["ontology"], dicts["embeddings"],
+            dicts["ontology"], dicts["embeddings"], bench_cfg,
             idf=idf_df, scorer_dicts=scorer_dicts,
         )
         n = tri.count()

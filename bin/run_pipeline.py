@@ -74,6 +74,13 @@ def main(argv: list[str] | None = None) -> int:
         use_lsh_blocking=args.lsh,
     )
     t0 = time.time()
+    # precondition for the int-keyed KG join (candidate_predicates): the
+    # 64-bit entity hash must be injective over the dictionary — one tiny
+    # aggregation per dictionary snapshot, run before any corpus work
+    from predicate_finder_spark.operators.predicates import verify_entity_hash_injective
+
+    n_ents = verify_entity_hash_injective(aliases, kg)
+    print(f"entity dictionary: {n_ents} entities, hash-injective", flush=True)
     triples = extract_triples(spark, pages, aliases, kg, onto, emb, cfg)
     ch = cfg.config_hash()
     m_t = write_stage(triples, f"{args.out}/triples", "triples_out", ch)

@@ -35,6 +35,11 @@ class PipelineConfig:
     predicate_blacklist: tuple[str, ...] = (
         "#", "subject", "wiki", "hypernym", "gender",
     )
+    # declare the kg_triples dictionary already (s, p, o)-distinct: skips a
+    # per-run dictionary-wide distinct shuffle (production KGs are deduped
+    # once at ingest; output is invariant either way — see
+    # operators/predicates.py candidate_predicates)
+    kg_prededuped: bool = False
     # scoring: 'baseline' = IDF x cosine argmax (the reference's strongest
     # artifact, baseline/baseline.py); 'rerank' adds the 6-feature model
     # re-ranker on top (reference xgboost/test_xgb_pkl.py)

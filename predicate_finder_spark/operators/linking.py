@@ -27,6 +27,7 @@ def link_mentions(
     min_prior: float = 0.0,
     broadcast_dict: bool = True,
     salt_buckets: int = 0,
+    top1_per_surface: bool = False,
 ) -> DataFrame:
     """mentions ⋈ aliases -> linked mentions with (entity, prior).
 
@@ -34,10 +35,30 @@ def link_mentions(
     executor memory (DBpedia surface forms ~ a few GB: broadcastable on big
     executors; else set ``salt_buckets`` > 0 for a salted shuffle join that
     spreads Zipfian head surfaces over reducers).
+
+    ``top1_per_surface=True`` moves disambiguation to the DICTIONARY side:
+    for exact-surface linking, the post-join per-span argmax (prior desc,
+    entity asc) depends only on the span's surface, so pre-aggregating the
+    dictionary to its best entity per alias is semantically identical — and
+    the k-candidates-per-span fan-out never exists, so the downstream
+    resolve window shuffles one row per span instead of one per (span,
+    candidate).  Measured round 4: 11x fewer rows / 3.5x fewer bytes into
+    the pipeline's widest exchange.  Leave False when the caller wants the
+    full candidate list (negative sampling, LSH fuzzy paths — where
+    candidates come from DIFFERENT surfaces and the equivalence breaks).
     """
     dic = aliases.filter(F.col("prior") >= min_prior).select(
         F.col("alias").alias("surface"), "entity", "prior"
     )
+    if top1_per_surface:
+        wd = Window.partitionBy("surface").orderBy(
+            F.col("prior").desc(), F.col("entity").asc()
+        )
+        dic = (
+            dic.withColumn("__rn", F.row_number().over(wd))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     if broadcast_dict:
         joined = mentions.join(F.broadcast(dic), "surface", "inner")
     elif salt_buckets > 1:

@@ -62,6 +62,7 @@ def candidate_predicates(
     kg_triples: DataFrame,
     blacklist: tuple[str, ...] = ("#", "subject", "wiki", "hypernym", "gender"),
     salt_buckets: int = 0,
+    kg_prededuped: bool = False,
 ) -> DataFrame:
     """pairs ⋈ kg_triples in BOTH directions (entity-as-subject and
     entity-as-object, reference DataExtract.py:25-41), blacklist-filtered
@@ -70,11 +71,33 @@ def candidate_predicates(
     Output: (url, sent_id, subj, obj, pred_uri, pred, rel_tokens, rule).
     ``salt_buckets`` > 1 switches to the salted join for Zipfian head
     entities (SURVEY.md §4.2(1)).
+
+    Shuffle-byte shape: the probe side carries the entity pair as TWO
+    xxhash64 INTS (16 bytes), not strings — at web scale entity URIs
+    average 30-60 bytes each and the (s, o) exchange is the pipeline's
+    widest shuffle.  The authoritative strings ride only on the (tiny)
+    dictionary side and are restored after the join, so output values are
+    byte-identical to a string-keyed join PROVIDED the hash is injective
+    over the entity dictionary — probe entities always come from the alias
+    dictionary (resolve_mentions), so checking aliases ∪ kg covers the
+    whole joinable domain: run :func:`verify_entity_hash_injective` once
+    per dictionary snapshot (bin/run_pipeline does).
     """
     import re as _re
 
     pattern = "|".join(_re.escape(b) for b in blacklist)
-    kg = kg_triples.filter(~F.col("p").rlike(pattern)).select("s", "p", "o").distinct()
+    kg = kg_triples.filter(~F.col("p").rlike(pattern)).select("s", "p", "o")
+    if not kg_prededuped:
+        # ``kg_prededuped=True`` skips this dictionary-wide distinct — a
+        # production KG dictionary is deduped once at ingest, and re-running
+        # the two-phase aggregate per extraction shuffles the whole dict
+        # every run for nothing.  Duplicate kg rows only ever duplicate
+        # candidate evidence rows (the top-1 window output is invariant),
+        # so the flag is a perf knob, not a semantics knob.
+        kg = kg.distinct()
+    kg_enc = kg.select(
+        F.xxhash64("s").alias("__sid"), F.xxhash64("o").alias("__oid"), "s", "p", "o"
+    )
 
     # Explode each pair into both orientations BEFORE the join: one probe
     # frame, ONE kg join — a union of two per-direction joins would duplicate
@@ -86,21 +109,23 @@ def candidate_predicates(
         F.explode(
             F.array(
                 F.struct(
-                    F.col("e1").alias("s"), F.col("e2").alias("o"),
+                    F.xxhash64("e1").alias("__sid"), F.xxhash64("e2").alias("__oid"),
                     F.lit("forward").alias("rule"),
                 ),
                 F.struct(
-                    F.col("e2").alias("s"), F.col("e1").alias("o"),
+                    F.xxhash64("e2").alias("__sid"), F.xxhash64("e1").alias("__oid"),
                     F.lit("reverse").alias("rule"),
                 ),
             )
         ).alias("d"),
-    ).select("url", "sent_id", "rel_tokens", "pair_prior", "d.s", "d.o", "d.rule")
+    ).select("url", "sent_id", "rel_tokens", "pair_prior", "d.__sid", "d.__oid", "d.rule")
 
     if salt_buckets > 1:
-        j = salted_join(both, kg, ["s", "o"], buckets=salt_buckets, salt_source="url")
+        j = salted_join(
+            both, kg_enc, ["__sid", "__oid"], buckets=salt_buckets, salt_source="url"
+        )
     else:
-        j = both.join(kg, ["s", "o"], "inner")
+        j = both.join(kg_enc, ["__sid", "__oid"], "inner")
     # no dropDuplicates here: duplicate candidates (the same pair mentioned
     # at two positions in a sentence) are legitimate evidence rows, and the
     # top-1 window downstream picks exactly one row per pair anyway — a
@@ -110,6 +135,39 @@ def candidate_predicates(
         F.col("s").alias("subj"), F.col("o").alias("obj"),
         F.col("p").alias("pred_uri"), "rel_tokens", "pair_prior", "rule",
     ).withColumn("pred", uri_localname("pred_uri"))
+
+
+def verify_entity_hash_injective(
+    aliases: DataFrame, kg_triples: DataFrame, entity_col: str = "entity"
+) -> int:
+    """Assert xxhash64 is injective over the joinable entity domain
+    (alias-dictionary entities ∪ kg subjects ∪ kg objects) — the
+    correctness precondition for candidate_predicates' int-keyed join.
+
+    One tiny aggregation job over dictionary-sized tables (DBpedia-scale:
+    ~10^7 entities — trivially checkable even at full scale; a 64-bit
+    collision within 10^7 values has probability ~3e-6 and would be caught
+    here, before any corpus work runs).  Returns the entity count; raises
+    ValueError listing colliding entities otherwise.
+    """
+    ents = (
+        aliases.select(F.col(entity_col).alias("e"))
+        .unionByName(kg_triples.select(F.col("s").alias("e")))
+        .unionByName(kg_triples.select(F.col("o").alias("e")))
+        .distinct()
+    )
+    bad = (
+        ents.groupBy(F.xxhash64("e").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("e").alias("es"))
+        .filter(F.col("n") > 1)
+    )
+    collisions = bad.limit(5).collect()
+    if collisions:
+        raise ValueError(
+            "xxhash64 collision in entity dictionary; int-keyed KG join "
+            f"unsafe for: {[r['es'] for r in collisions]}"
+        )
+    return ents.count()
 
 
 def enrich_ontology(candidates: DataFrame, ontology: DataFrame) -> DataFrame:

@@ -172,7 +172,8 @@ def extract_triples(
             )
         else:
             linked = link_mentions(
-                mentions, aliases, min_prior=cfg.min_link_prior, broadcast_dict=True
+                mentions, aliases, min_prior=cfg.min_link_prior,
+                broadcast_dict=True, top1_per_surface=True,
             )
         return resolve_mentions(linked)
 
@@ -184,6 +185,7 @@ def extract_triples(
             pairs, kg_triples,
             blacklist=cfg.predicate_blacklist,
             salt_buckets=cfg.salt_buckets if cfg.salted_join else 0,
+            kg_prededuped=cfg.kg_prededuped,
         )
         return predicate_words(enrich_ontology(cands, ontology))
 
@@ -256,7 +258,13 @@ def extract_triples(
                 make_rerank_udf(spark, rerank_model, framework=rerank_framework),
             ).withColumn("score", F.col("rerank_score"))
             scored = reranked.drop("rerank_score")
-        return to_triples(top1_per_pair(scored))
+        # project BEFORE the top-1 window: the exchange only needs the
+        # window keys + ordering + output columns.  rel_tokens/pred_tokens/
+        # hier arrays are scorer inputs, already consumed — letting them
+        # ride the final shuffle roughly doubled its bytes (BENCH/BASELINE.md
+        # bandwidth-ceiling work, round 4)
+        slim = scored.select("url", "sent_id", "subj", "obj", "pred", "score", "rule")
+        return to_triples(top1_per_pair(slim))
 
     return stage("triples", _triples, ["candidates"])
 

@@ -96,3 +96,45 @@ def test_lsh_blocked_fuzzy_linking(spark):
     got = lsh_blocked_candidates(m, aliases, shingle_size=3, num_hashes=16, bands=8).collect()
     ents = {r["entity"] for r in got}
     assert "Alba_Arnheim" in ents and "Rosa_Jutland" not in ents
+
+
+def test_dict_side_disambiguation_equivalence(spark, corpus):
+    """top1_per_surface=True (dictionary-side argmax, round-4 shuffle-byte
+    work) must produce EXACTLY the rows of the post-join per-span argmax —
+    the resolve window's output is the contract."""
+    from predicate_finder_spark.operators.extract import extract_pages
+    from predicate_finder_spark.operators.linking import link_mentions, resolve_mentions
+    from predicate_finder_spark.operators.mentions import explode_sentences, generate_mentions
+
+    sent = explode_sentences(extract_pages(corpus["pages"]))
+    mentions = generate_mentions(sent, 3)
+    full = resolve_mentions(
+        link_mentions(mentions, corpus["aliases"], broadcast_dict=True)
+    )
+    slim = resolve_mentions(
+        link_mentions(
+            mentions, corpus["aliases"], broadcast_dict=True, top1_per_surface=True
+        )
+    )
+    cols = ["url", "sent_id", "start", "length", "entity", "prior"]
+    assert full.select(*cols).exceptAll(slim.select(*cols)).count() == 0
+    assert slim.select(*cols).exceptAll(full.select(*cols)).count() == 0
+    assert slim.count() > 0
+
+
+def test_entity_hash_injectivity_guard(spark, corpus):
+    """Precondition check for the int-keyed KG join: xxhash64 injective
+    over the synth entity dictionary, and the count is the domain size."""
+    from pyspark.sql import functions as F
+
+    from predicate_finder_spark.operators.predicates import verify_entity_hash_injective
+
+    n = verify_entity_hash_injective(corpus["aliases"], corpus["kg_triples"])
+    expect = (
+        corpus["aliases"].select(F.col("entity").alias("e"))
+        .unionByName(corpus["kg_triples"].select(F.col("s").alias("e")))
+        .unionByName(corpus["kg_triples"].select(F.col("o").alias("e")))
+        .distinct()
+        .count()
+    )
+    assert n == expect > 0
