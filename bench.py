@@ -24,6 +24,48 @@ def _force(df) -> int:
     return 0
 
 
+def _box_probe() -> dict:
+    """~5s box-health probe bracketing the timed window (the sandbox host
+    has minutes-long external degradation episodes that slow bandwidth-bound
+    work 5-10x while pure-ALU work barely moves — measured round 4, see
+    BENCH/BASELINE.md).  Two axes:
+
+    - ``matmul_s``: BLAS matmul, memory-bandwidth/cache sensitive — the
+      episode detector (clean ~0.2-1.3s, degraded 4-8s on this box);
+    - ``pyloop16_s``: 16 threads of pure-python ALU, bandwidth-insensitive
+      control (clean ~1.3-1.9s at this size; moves <1.4x in episodes).
+
+    A bench row is only trustworthy if BOTH probes are clean BEFORE and
+    AFTER the run; ``clean`` applies the thresholds.  Disable with
+    SPARK_GRAFT_PROBE=0.
+    """
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    a = np.random.RandomState(0).rand(2000, 2000)
+    a @ a  # BLAS/page-fault warmup, untimed
+    t0 = time.time()
+    for _ in range(4):
+        a @ a
+    mm = time.time() - t0
+
+    def pyloop(n: int) -> int:
+        s = 0
+        for i in range(n):
+            s += i * i % 7
+        return s
+
+    t0 = time.time()
+    with ThreadPoolExecutor(16) as ex:
+        list(ex.map(pyloop, [1_000_000] * 16))
+    py = time.time() - t0
+    return {
+        "matmul_s": round(mm, 2),
+        "pyloop16_s": round(py, 2),
+        "clean": mm < 2.0 and py < 2.5,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -43,6 +85,9 @@ def main() -> None:
     from predicate_finder_spark.plans.pipeline import build_scorer_dicts, extract_triples
     from predicate_finder_spark.session import get_spark
     from predicate_finder_spark.synth import synth_corpus
+
+    probe_on = os.environ.get("SPARK_GRAFT_PROBE", "1") != "0"
+    probe_before = _box_probe() if probe_on else None
 
     sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     spark = get_spark(
@@ -173,6 +218,12 @@ def main() -> None:
         "cpus": cpus,
         **extras,
     }
+    if probe_on:
+        probe_after = _box_probe()
+        out["probe_before"] = probe_before
+        out["probe_after"] = probe_after
+        out["clean_window"] = bool(probe_before["clean"] and probe_after["clean"])
+        out["loadavg_1m"] = round(os.getloadavg()[0], 2)
     print(json.dumps(out))
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from predicate_finder_spark.functions.text import tokenize
+from predicate_finder_spark.functions.text import ngram_texts, tokenize
 
 # Tiny per-language stopword profiles for the n-gram/stopword-hit heuristic.
 # Deliberately small + deterministic (no external model in the sandbox).
@@ -83,3 +83,48 @@ def quality_score(text: Column) -> Column:
     stop_score = F.least(F.when(n > 0, stop / n_d).otherwise(F.lit(0.0)) * 4.0, F.lit(1.0))
     word_len_score = F.when((mean_len >= 3) & (mean_len <= 10), 1.0).otherwise(0.5)
     return (len_score + alpha_score + stop_score + word_len_score) / 4.0
+
+
+# PII redaction patterns, ordered most-specific first (an email contains
+# digit runs a looser pattern could claim).  Each regex is valid and
+# equivalent under BOTH Java regex (Spark codegen) and RE2 (DuckDB
+# oracle): character classes, bounded repetition, and \b only.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[- ]\d{3,4}[- ]\d{3,4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails / IPv4s / intl phone numbers with typed placeholder
+    tokens — a chained ``regexp_replace``, so the whole scrub stays inside
+    whole-stage codegen (zero Python per row at corpus scale)."""
+    out = text
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_hit_count(text: Column) -> Column:
+    """Number of PII matches in the document (sum over pattern types).
+    Counted on the raw text per pattern via ``regexp_extract_all`` (the
+    ordered scrub makes overlap impossible: '@' and digit-dot runs are
+    disjoint alphabets, and the phone pattern's leading '+' cannot start
+    inside an email/IP match)."""
+    total = F.lit(0)
+    for _name, pat, _repl in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+    return total
+
+
+def repetition_ratio(text: Column, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of n-gram occurrences that
+    are duplicates (``1 - distinct/total``), 0.0 for texts shorter than n
+    tokens.  High values flag boilerplate/spam for curation filters."""
+    g = ngram_texts(tokenize(text), n)
+    total = F.size(g)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))

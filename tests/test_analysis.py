@@ -36,6 +36,24 @@ def test_quality_score_ordering(spark):
     assert 0.0 <= qb < qg <= 1.0
 
 
+def test_pii_scrub(spark):
+    raw = "mail a.user+tag@sub.example.org or +44-7700-900 from 192.168.0.1 end"
+    out = _one(spark, A.pii_scrub(F.lit(raw)))
+    assert out == "mail <EMAIL> or <PHONE> from <IP> end"
+    assert _one(spark, A.pii_hit_count(F.lit(raw))) == 3
+    clean = "no personal data in this sentence at all"
+    assert _one(spark, A.pii_scrub(F.lit(clean))) == clean
+    assert _one(spark, A.pii_hit_count(F.lit(clean))) == 0
+
+
+def test_repetition_ratio(spark):
+    # 'a b a b a b' -> bigrams [ab, ba, ab, ba, ab]: 5 total, 2 distinct
+    assert abs(_one(spark, A.repetition_ratio(F.lit("a b a b a b"), 2)) - 0.6) < 1e-9
+    # all-distinct bigrams -> 0; sub-n-token text -> 0
+    assert _one(spark, A.repetition_ratio(F.lit("one two three"), 2)) == 0.0
+    assert _one(spark, A.repetition_ratio(F.lit("one"), 2)) == 0.0
+
+
 def test_cosine_expr(spark):
     a = F.array(F.lit(1.0), F.lit(0.0))
     b = F.array(F.lit(0.0), F.lit(1.0))
