@@ -128,10 +128,23 @@ def minhash_lsh_pairs(
     (which would defeat the point of LSH at 100 TB).
     """
     rows = num_hashes // bands
-    shing = word_shingles(tokenize(F.col(text_col)), shingle_k)
-    sig = minhash_signature(shing, num_hashes)
-    keyed = docs.select(
-        F.col(id_col), F.explode(lsh_bands(sig, bands, rows)).alias("bk")
+    # projection boundaries matter here: lsh_bands references its signature
+    # argument once per band lambda, and Catalyst does NOT hoist the common
+    # subexpression out of higher-order-function lambdas — passing the fused
+    # minhash(shingles(tokenize(text))) expression in re-evaluates the whole
+    # signature per band (measured 4-8x slower at 20k pages).  Materializing
+    # the signature as a named column in a Project *below* the Generate
+    # (CollapseProject never merges through Generate) makes it a per-row
+    # attribute lookup.
+    shingled = docs.select(
+        F.col(id_col),
+        word_shingles(tokenize(F.col(text_col)), shingle_k).alias("__sh"),
+    )
+    sig_df = shingled.select(
+        F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    )
+    keyed = sig_df.select(
+        F.col(id_col), F.explode(lsh_bands(F.col("__sig"), bands, rows)).alias("bk")
     ).select(
         F.col(id_col), F.concat_ws(":", F.col("bk.band"), F.col("bk.key")).alias("block_key")
     )
@@ -145,10 +158,16 @@ def minhash_lsh_pairs(
     # slower at 2k docs, and at 100 TB it would mean extra full corpus
     # passes.  Persist-at-the-narrow-waist is the standard shape: candidates
     # are O(pairs), never O(corpus).
+    # persist() alone is NOT enough: a single downstream action submits the
+    # banding subtree and both verify-join scan stages CONCURRENTLY, and the
+    # cache only dedupes work once populated — the parallel stages each
+    # recompute the subtree first (measured 4x slower at 20k pages).  The
+    # count() forces the tiny (id_a, id_b) frame before the fan-out.
     pairs = pairs.persist()
+    pairs.count()
     # same shingle universe as ngram_jaccard_pairs (word_shingles is
     # already distinct), so the jaccard values are identical
-    sets = docs.select(F.col(id_col).alias("id"), shing.alias("sh"))
+    sets = shingled.select(F.col(id_col).alias("id"), F.col("__sh").alias("sh"))
     verified = (
         pairs.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

@@ -158,10 +158,20 @@ def lsh_blocked_candidates(
     rows = num_hashes // bands
 
     def with_blocks(df: DataFrame, col: str) -> DataFrame:
+        # signature materialized as a column BELOW the explode: lsh_bands
+        # references its argument once per band lambda and Catalyst does not
+        # hoist subexpressions out of HOF lambdas — inlining the fused
+        # minhash expression re-evaluates it per band (see
+        # operators/dedup.py minhash_lsh_pairs for the measurement).
         sig = minhash_signature(char_shingles(F.col(col), shingle_size), num_hashes)
-        return df.withColumn("__block", F.explode(lsh_bands(sig, bands, rows))).withColumn(
-            "__bkey", F.concat_ws(":", F.col("__block.band"), F.col("__block.key"))
-        ).drop("__block")
+        return (
+            df.withColumn("__sig", sig)
+            .withColumn("__block", F.explode(lsh_bands(F.col("__sig"), bands, rows)))
+            .withColumn(
+                "__bkey", F.concat_ws(":", F.col("__block.band"), F.col("__block.key"))
+            )
+            .drop("__block", "__sig")
+        )
 
     m = with_blocks(mentions, "surface")
     a = with_blocks(

@@ -73,6 +73,11 @@ def curate_docs(
     from pyspark import StorageLevel
 
     kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    # force the cache BEFORE the fan-out: the scheduler submits the four
+    # consumer stages concurrently, and an unpopulated cache means each one
+    # recomputes the gate+dedup subtree in parallel (measured 4x slower at
+    # 20k pages than materializing once here).
+    kept.count()
     if near_dup == "minhash":
         pairs = minhash_lsh_pairs(
             kept, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
