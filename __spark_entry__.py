@@ -827,6 +827,22 @@ def q63_repetition(spark, sf):
     )
 
 
+def q64_decontam(spark, sf):
+    """Benchmark decontamination (operators/decontam.py): per-document
+    count of distinct word-5-grams shared with an eval set (GPT-3
+    appendix-C-style train-test overlap scrub).  The deterministic
+    'benchmark' is the doc_id % 13 == 0 slice of the corpus, so every
+    benchmark member flags at least itself; the gram join key is md5,
+    mirrored exactly by the oracle."""
+    from predicate_finder_spark.operators.decontam import contamination_hits
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.pmod("doc_id", F.lit(13)) == 0)
+    return contamination_hits(docs, bench, ngram_n=5).select(
+        "doc_id", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -915,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_graph_vertices": q59_graph_vertices,
         "q62_pii_scrub": q62_pii_scrub,
         "q63_repetition": q63_repetition,
+        "q64_decontam": q64_decontam,
     }
 
 
@@ -1596,6 +1613,26 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(1.0 - len(list_distinct(gs)) / len(gs)::DOUBLE, 4)
                     ELSE 0.0 END AS rep_ratio
         FROM g
+    """
+    sqls["q64_decontam"] = f"""
+        WITH tok AS (
+          SELECT doc_id, {_TOK} AS ts FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ts) >= 5
+                      THEN list_distinct(list_transform(range(0, len(ts) - 4),
+                           i -> ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3]
+                                || ' ' || ts[i + 4] || ' ' || ts[i + 5]))
+                      ELSE [array_to_string(ts, ' ')] END AS grams
+          FROM tok
+        ), e AS (
+          SELECT DISTINCT doc_id, md5(unnest(grams)) AS h FROM sh
+        ), bg AS (
+          SELECT DISTINCT h FROM e WHERE doc_id % 13 = 0
+        )
+        SELECT e.doc_id, count(*) AS n_hits
+        FROM e JOIN bg USING (h)
+        GROUP BY e.doc_id
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

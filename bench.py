@@ -183,9 +183,18 @@ def main() -> None:
         "q34_minhash_sig",
         "q36_tumbling_window",
     ):
-        t0 = time.time()
-        _force(Q[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2 like the flagship: the host's external degradation
+        # episodes are minutes long, so a single-shot timing inside a long
+        # bench window is a coin flip; plans are rebuilt per call (no
+        # persist), so the second run re-executes everything (warm OS page
+        # cache only — inputs are materialized outside the window anyway)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _force(Q[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     if not only_kg:
         # composed curation flow over the full page corpus: quality + lang
@@ -195,18 +204,27 @@ def main() -> None:
         # composition-comparable with earlier rounds.
         from predicate_finder_spark.plans.curation import curate_docs
 
-        pages.persist()
-        pages.count()
-        t0 = time.time()
-        _force(
-            curate_docs(
-                pages, id_col="url", text_col="text", min_quality=0.15,
-                langs=("en", "und", "de", "fr", "es", "zh"),
-                near_dup="minhash", near_dup_threshold=0.8,
+        # best-of-2 with a full cache clear between trials: curate_docs
+        # persists its narrow waists, and Spark's cacheManager matches
+        # canonicalized plans — without the clear, trial 2 would reuse
+        # trial 1's cached frames and measure nothing
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            pages.persist()
+            pages.count()
+            t0 = time.time()
+            _force(
+                curate_docs(
+                    pages, id_col="url", text_col="text", min_quality=0.15,
+                    langs=("en", "und", "de", "fr", "es", "zh"),
+                    near_dup="minhash", near_dup_threshold=0.8,
+                )
             )
-        )
-        extras["curation_sec"] = round(time.time() - t0, 3)
-        pages.unpersist()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        extras["curation_sec"] = round(best, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {
