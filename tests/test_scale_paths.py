@@ -82,6 +82,26 @@ def test_flagship_plan_shape(spark, small):
     assert len(re.findall(r"score_udf", plan)) <= 2
 
 
+def test_minhash_banding_no_signature_reevaluation(spark, small):
+    """Plan regression guard for the HOF-inlining fix: lsh_bands references
+    its signature argument once per band lambda, and Catalyst does not hoist
+    common subexpressions out of lambdas — if the fused minhash expression
+    ever gets inlined back into the banding transform (e.g. someone removes
+    the projection boundary below the Generate), the full signature chain
+    (array_min over per-shingle md5s) appears once PER BAND in the plan
+    instead of once per self-join side, and re-evaluates per row per band
+    (measured 4-8x slower at 20k pages)."""
+    from predicate_finder_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = small["pages"].select(F.col("url"), F.col("text"))
+    pairs = minhash_lsh_pairs(docs, id_col="url", verify_threshold=None)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    n_sig = len(re.findall(r"array_min", plan))
+    # one signature evaluation per self-join side (the optimizer duplicates
+    # the keyed subtree across the two sides); 8 = per-band inlining (4 bands)
+    assert 1 <= n_sig <= 2, f"signature evaluated {n_sig} times in plan"
+
+
 def test_rows_only_queries_run(spark):
     """q40/q43/q44 have no SQL oracle — smoke them (schema + rows)."""
     import __spark_entry__ as em
