@@ -843,6 +843,39 @@ def q64_decontam(spark, sf):
     )
 
 
+def q65_components(spark, sf):
+    """Distributed connected components (operators/graph.py — alternating
+    large-star/small-star, O(log^2) rounds, groupBy-min + equi-joins only)
+    over the verified n-gram-Jaccard near-dup pair graph.  The oracle is a
+    DuckDB recursive CTE computing min-reachable-id — value-exact, so the
+    iterative Spark algorithm is pinned against a declarative transitive
+    closure."""
+    from predicate_finder_spark.operators.dedup import ngram_jaccard_pairs
+    from predicate_finder_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+def q66_pack_chunks(spark, sf):
+    """Concat-and-chunk sequence packing (operators/packing.py): md5-bucketed
+    streams, per-bucket running token offsets, budget-64 chunk assignment —
+    all window + integer arithmetic, mirrored exactly by the oracle."""
+    from predicate_finder_spark.operators.packing import pack_chunks
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    out = pack_chunks(docs, budget=64, n_buckets=4, tokens_col="n_tok")
+    return out.select(
+        "doc_id", F.col("bucket").cast("long").alias("bucket"), "n_tokens",
+        "tok_offset", F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunks_spanned",
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -932,6 +965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_pii_scrub": q62_pii_scrub,
         "q63_repetition": q63_repetition,
         "q64_decontam": q64_decontam,
+        "q65_components": q65_components,
+        "q66_pack_chunks": q66_pack_chunks,
     }
 
 
@@ -1633,6 +1668,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.doc_id, count(*) AS n_hits
         FROM e JOIN bg USING (h)
         GROUP BY e.doc_id
+    """
+    # q65: the same pair generation as q42 (threshold 0.5), then transitive
+    # closure via recursive CTE — min reachable id == the engine's component
+    sqls["q65_components"] = f"""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, {_TOK} AS ts FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ts) >= 3
+                      THEN list_distinct(list_transform(range(0, len(ts) - 2),
+                           i -> ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3]))
+                      ELSE [array_to_string(ts, ' ')] END AS shingles
+          FROM tok
+        ), e AS (
+          SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b
+          FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b
+          WHERE n_inter / (na.n + nb.n - n_inter) >= 0.5
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
+        )
+        SELECT s AS doc_id, least(s, min(d)) AS component
+        FROM reach GROUP BY s
+    """
+    # q66: engine-portable md5 bucket (hex-fold of the first 8 md5 chars of
+    # the id string, mod n) then per-bucket running-sum window — exact
+    # integer arithmetic end to end
+    sqls["q66_pack_chunks"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(0::BIGINT,
+                   list_transform(range(1, 9),
+                     i -> (strpos('0123456789abcdef', md5(doc_id::VARCHAR)[i]) - 1)::BIGINT)),
+                   (a, b) -> a * 16 + b) % 4 AS bucket,
+                 len({_TOK})::BIGINT AS n_tokens
+          FROM documents
+        ), packed AS (
+          SELECT doc_id, bucket, n_tokens,
+                 (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS tok_offset
+          FROM base
+        )
+        SELECT doc_id, bucket, n_tokens, tok_offset,
+               tok_offset // 64 AS chunk_id,
+               ((tok_offset + greatest(n_tokens, 1) - 1) // 64
+                - tok_offset // 64 + 1)::BIGINT AS chunks_spanned
+        FROM packed
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

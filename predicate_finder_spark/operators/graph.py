@@ -1,0 +1,181 @@
+"""Distributed connected components and cluster-level deduplication.
+
+Why this operator exists: the dedup family (operators/dedup.py) emits
+verified near-duplicate PAIRS.  Dropping ``id_b`` per pair is only correct
+when every non-minimum cluster member appears as some pair's larger side —
+false in general (cluster {1,2,3} with edges (1,3),(2,3) only: node 2 is
+never an ``id_b``, so 1 AND 2 both survive even though they are
+transitively near-duplicates via 3).  Cluster-level dedup needs the
+connected components of the pair graph, then one survivor per component.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+O(log^2 n) rounds on any graph (O(log n) in practice), vs O(diameter)
+for naive min-label propagation, which degrades to thousands of rounds
+on chain-shaped duplicate clusters (crawl mirrors produce exactly those).
+
+Every round is two shuffle-shaped primitives, both 100 TB-safe:
+
+- per-node minimum: ``groupBy(src).agg(min(dst))`` — partial aggregation
+  combines map-side, so a hub node's edges reduce to one (node, min) row
+  per map partition before the shuffle;
+- edge re-pointing: an equi-join of the edge list against that (node, min)
+  frame.  No ``collect_list`` adjacency materialization anywhere — a node
+  with 10^8 neighbors never assembles them in one task's memory.
+
+Skew: the component-minimum node's degree grows as stars form; the join
+key distribution is exactly what AQE skew-join splitting handles, and the
+groupBy side is immune (partial agg).  Lineage: each round ends in
+``localCheckpoint`` — 2x-per-round plan growth would otherwise blow the
+driver's analyzer stack by round ~15.
+
+Reference scope note: the reference (dbpedia/predicate-finder) has no
+graph clustering; this is part of the training-data-pipeline extension
+surface (SURVEY.md §6), composed with operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Both directions, self-loops dropped, deduped: canonical edge state."""
+    fwd = edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _node_min(edges: DataFrame) -> DataFrame:
+    """(node, m) where m = min(neighbors(node) ∪ {node}).  Edges symmetric."""
+    return edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to m(u).
+
+    For each symmetric edge (u, v) with v > u: emit (v, m(u)).  Smaller
+    neighbors are covered from v's own perspective (the edge list is
+    symmetric).  Output is re-symmetrized by the round driver.
+    """
+    m = _node_min(edges)
+    return (
+        edges.filter(F.col("dst") > F.col("src"))
+        .join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u — and u itself — to m(u)."""
+    m = _node_min(edges)
+    to_smaller = (
+        edges.filter(F.col("dst") <= F.col("src"))
+        .join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edge = m.select(F.col("src"), F.col("m").alias("dst"))
+    return to_smaller.union(self_edge)
+
+
+def _state_digest(edges: DataFrame) -> tuple[int, int]:
+    """Order-independent fingerprint of the edge set for convergence checks.
+
+    (count, bit_xor of xxhash64(src,dst)) — one tiny aggregate per round; an
+    unchanged digest on a deduped edge set means an unchanged set (up to a
+    hash-collision probability ~2^-64 per round, irrelevant here).  XOR
+    instead of SUM: overflow-free under ANSI mode at any row count, and the
+    edge set is ``distinct()`` so XOR's duplicate-cancellation can't fire.
+    """
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    vertices: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected pair graph.
+
+    Returns ``(node, component)`` (both long) where ``component`` is the
+    MINIMUM node id in the component — deterministic, so downstream
+    survivor selection and the DuckDB recursive-CTE oracle agree exactly.
+
+    ``vertices``: optional frame of all node ids (``id_col``); isolated
+    vertices (no pair) come back as their own singleton component.  Without
+    it, only nodes appearing in ``pairs`` are returned.
+
+    Raises after ``max_iter`` alternating rounds without a fixpoint —
+    the algorithm's bound is O(log^2 n), so 50 covers any real graph and a
+    non-convergence is a bug, not a tuning problem.
+    """
+    edges = _symmetric(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    digest = _state_digest(edges)
+    for _ in range(max_iter):
+        stars = _small_star(_symmetric(_large_star(edges)))
+        new_edges = _symmetric(stars).localCheckpoint(eager=True)
+        new_digest = _state_digest(new_edges)
+        edges.unpersist()
+        edges, digest_prev, digest = new_edges, digest, new_digest
+        if digest == digest_prev:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # At the fixpoint every edge is (member, component_min) or its mirror;
+    # keep the downward direction and fold each node to its minimum target.
+    comp = (
+        edges.filter(F.col("dst") < F.col("src"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("component"))
+        .select(F.col("src").alias("node"), "component")
+    )
+    # component minima (and any isolated vertices) map to themselves
+    members = comp
+    mins = comp.select(F.col("component").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    out = members.union(mins)
+    if vertices is not None:
+        verts = vertices.select(F.col(id_col).cast("long").alias("node")).distinct()
+        isolated = verts.join(out.select("node"), "node", "left_anti").withColumn(
+            "component", F.col("node")
+        )
+        out = out.union(isolated)
+    result = out.groupBy("node").agg(F.min("component").alias("component"))
+    result = result.localCheckpoint(eager=True)
+    edges.unpersist()
+    return result
+
+
+def cluster_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster-level dedup: one survivor (the minimum id) per connected
+    component of the verified near-dup pair graph; docs in no pair survive.
+
+    This is the transitive-closure-correct victim policy — see the module
+    docstring for the 3-node counterexample to per-pair dropping.  The
+    victim set is ``components where node != component``, dropped with one
+    ``left_anti`` equi-join; the components frame is pair-graph-sized
+    (O(duplicates), not O(corpus)).
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    victims = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(victims, id_col, "left_anti")

@@ -12,10 +12,17 @@ so each stage keeps its audited 100 TB shape:
   pairwise scan), verified on the candidate pairs only;
 - the victim drop is a left_anti equi-join on the id.
 
-Deterministic victim policy: for every verified near-dup pair (id_a, id_b)
-with id_a < id_b, the HIGHER id loses.  Transitive clusters therefore keep
-exactly their minimum id (any non-minimum member pairs with the minimum or
-with another smaller member, so it is someone's id_b).
+Deterministic victim policies:
+
+- ``victim_policy="pair"`` (default): for every verified pair (id_a, id_b)
+  with id_a < id_b, the higher id loses.  Pairwise-faithful — only docs
+  VERIFIED similar to a smaller doc are dropped — but not transitive:
+  in cluster {1,2,3} with pairs (1,3),(2,3) only, node 2 is never an
+  id_b, so 1 AND 2 both survive.
+- ``victim_policy="cluster"``: connected components of the pair graph
+  (operators/graph.py), one survivor (the minimum id) per component —
+  the transitive-closure semantics most corpus-dedup recipes
+  (MinHashLSH + union-find) use.
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ def curate_docs(
     num_hashes: int = 16,
     bands: int = 4,
     max_shingle_df: int | None = None,
+    victim_policy: str = "pair",
 ) -> DataFrame:
     """Return the surviving rows of ``docs`` (original schema plus
     ``quality`` and ``lang_pred``), after:
@@ -91,6 +99,12 @@ def curate_docs(
         )
     else:
         raise ValueError(f"unknown near_dup mode {near_dup!r}")
+    if victim_policy == "cluster":
+        from predicate_finder_spark.operators.graph import cluster_dedup
+
+        return cluster_dedup(kept, pairs, id_col=id_col)
+    if victim_policy != "pair":
+        raise ValueError(f"unknown victim_policy {victim_policy!r}")
     victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return kept.join(victims, id_col, "left_anti")
 

@@ -93,6 +93,37 @@ def test_curate_then_extract_keeps_pr(spark):
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
 
 
+def test_cluster_victim_policy_is_transitive(spark):
+    """The distinguishing shape: doc 3 is similar to BOTH 1 and 2, but 1
+    and 2 share nothing.  Pair policy only ever drops a pair's larger id,
+    so it keeps {1, 2}; cluster policy keeps only the component minimum."""
+    w = " ".join(f"w{i}" for i in range(1, 13))          # w1..w12
+    v = " ".join(f"v{i}" for i in range(1, 13))          # v1..v12
+    mix = " ".join([f"w{i}" for i in range(1, 7)] + [f"v{i}" for i in range(1, 7)])
+    docs = spark.createDataFrame(
+        [(1, w), (2, v), (3, mix)], "doc_id int, text string"
+    )
+    # 3-gram shingle jaccard(1,3) = jaccard(2,3) = 4/16 = 0.25; (1,2) = 0
+    kw = dict(
+        min_quality=0.0, langs=ALL_LANGS, near_dup="jaccard",
+        near_dup_threshold=0.2,
+    )
+    pair_ids = sorted(
+        r["doc_id"] for r in curate_docs(docs, victim_policy="pair", **kw).collect()
+    )
+    cluster_ids = sorted(
+        r["doc_id"] for r in curate_docs(docs, victim_policy="cluster", **kw).collect()
+    )
+    assert pair_ids == [1, 2], pair_ids      # 3 is the only id_b anywhere
+    assert cluster_ids == [1], cluster_ids   # transitive closure keeps the min
+
+
+def test_bad_victim_policy_raises(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="victim_policy"):
+        curate_docs(docs, near_dup="jaccard", victim_policy="bogus")
+
+
 def test_bad_near_dup_mode_raises(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     with pytest.raises(ValueError, match="near_dup"):

@@ -1,0 +1,102 @@
+"""Connected components (large-star/small-star) vs a union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.operators.graph import cluster_dedup, connected_components
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fold to the true minimum per component
+    roots = {}
+    for v in range(n_nodes):
+        r = find(v)
+        roots.setdefault(r, []).append(v)
+    out = {}
+    for members in roots.values():
+        m = min(members)
+        for v in members:
+            out[v] = m
+    return out
+
+
+def _spark_components(spark, edges, vertices=None):
+    df = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        df = df.filter(F.lit(False))
+    verts = None
+    if vertices is not None:
+        verts = spark.createDataFrame([(v,) for v in vertices], "doc_id long")
+    got = connected_components(df, vertices=verts)
+    return {r["node"]: r["component"] for r in got.collect()}
+
+
+def test_two_components_and_chain(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12)]
+    got = _spark_components(spark, edges)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_long_chain_converges_fast(spark):
+    # a 60-node path is the worst case for naive min-propagation
+    # (60 rounds); large-star/small-star must finish in O(log^2).
+    edges = [(i, i + 1) for i in range(60)]
+    got = _spark_components(spark, edges, vertices=range(61))
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40 + 20 * trial
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(int(n * 0.8))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _union_find_components(n, edges)
+        got = _spark_components(spark, edges, vertices=range(n))
+        assert got == want, f"trial {trial} mismatch"
+
+
+def test_isolated_vertices_are_singletons(spark):
+    got = _spark_components(spark, [(1, 2)], vertices=[1, 2, 3, 4])
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_empty_pairs(spark):
+    got = _spark_components(spark, [], vertices=[5, 6])
+    assert got == {5: 5, 6: 6}
+
+
+def test_cluster_dedup_transitive_counterexample(spark):
+    # {1,2,3} with pairs (1,3),(2,3): per-pair id_b-dropping keeps {1,2};
+    # cluster semantics must keep only the component minimum, {1}.
+    docs = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    kept = cluster_dedup(docs, pairs)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_cluster_dedup_keeps_unpaired_docs(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 4), (4, 5)], "id_a long, id_b long")
+    kept = cluster_dedup(docs, pairs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 3]

@@ -1,0 +1,70 @@
+"""Concat-and-chunk sequence packing vs a pure-Python oracle."""
+
+from __future__ import annotations
+
+import hashlib
+
+from predicate_finder_spark.operators.packing import pack_chunks
+
+
+def _py_bucket(doc_id: int, n: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % n
+
+
+def _py_pack(rows, budget, n_buckets):
+    """rows: [(doc_id, n_tokens)] -> {doc_id: (bucket, off, chunk, spanned)}"""
+    streams = {}
+    for doc_id, n_tok in sorted(rows):
+        b = _py_bucket(doc_id, n_buckets)
+        off = streams.get(b, 0)
+        chunk = off // budget
+        spanned = (off + max(n_tok, 1) - 1) // budget - chunk + 1
+        streams[b] = off + n_tok
+        yield doc_id, (b, off, chunk, spanned)
+
+
+def test_pack_matches_python_oracle(spark):
+    rows = [(i, f"{'tok ' * ((i * 7) % 23 + 1)}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["bucket"], r["tok_offset"], r["chunk_id"], r["chunks_spanned"])
+        for r in pack_chunks(docs, budget=16, n_buckets=4).collect()
+    }
+    want = dict(_py_pack([(i, (i * 7) % 23 + 1) for i in range(200)], 16, 4))
+    assert got == want
+
+
+def test_pack_offsets_are_contiguous_per_bucket(spark):
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(50)], "doc_id long, text string"
+    )
+    out = pack_chunks(docs, budget=7, n_buckets=3).collect()
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        assert r["tok_offset"] == by_bucket.get(r["bucket"], 0)
+        by_bucket[r["bucket"]] = r["tok_offset"] + r["n_tokens"]
+        # 5 tokens into budget-7 chunks: spans 1 or 2 chunks, never more
+        assert r["chunks_spanned"] in (1, 2)
+
+
+def test_pack_zero_token_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "x y")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in pack_chunks(docs, budget=4, n_buckets=1).collect()}
+    assert got[1]["n_tokens"] == 0
+    assert got[1]["chunks_spanned"] == 1
+    assert got[2]["n_tokens"] == 2
+
+
+def test_pack_explicit_token_column(spark):
+    docs = spark.createDataFrame([(1, 10), (2, 10)], "doc_id long, n_tok long")
+    got = {
+        r["doc_id"]: r
+        for r in pack_chunks(
+            docs, budget=8, n_buckets=1, tokens_col="n_tok"
+        ).collect()
+    }
+    first, second = got[1], got[2]
+    assert first["tok_offset"] == 0 and first["chunks_spanned"] == 2
+    assert second["tok_offset"] == 10 and second["chunk_id"] == 1
