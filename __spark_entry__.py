@@ -876,6 +876,72 @@ def q66_pack_chunks(spark, sf):
     )
 
 
+def q67_url_canonical(spark, sf):
+    """URL canonicalization + host extraction for web-corpus curation
+    (functions/urls.py): lowercase scheme/host, strip userinfo / default
+    port / fragment / tracking params — one codegen'd regex chain, every
+    pattern in the Java-regex ∩ RE2 subset so the oracle is byte-exact.
+    The documents table carries no URL column, so the query builds a
+    deterministic messy URL per row (doc_id/source-derived) exercising
+    every cleanup pass."""
+    from predicate_finder_spark.functions.urls import canonicalize_url, url_host
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    messy = F.concat(
+        F.lit("HTTP://User@WWW."), F.upper("source"), F.lit(".COM:80/D"), sid,
+        F.lit("/Page?utm_source=s"), sid, F.lit("&q="),
+        F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit("&gclid=g"), sid, F.lit("#frag"),
+    )
+    return d.select(
+        "doc_id",
+        canonicalize_url(messy).alias("canon_url"),
+        url_host(messy).alias("host"),
+    )
+
+
+def q68_domain_stats(spark, sf):
+    """Per-domain corpus stats (the crawl-curation dashboard query): group
+    by extracted host -> page count, distinct languages, mean quality.
+    The quality mean goes through an exact integer micro-unit sum
+    (sum of round(q*1e6) BIGINTs, order-independent) then ONE double
+    division — bit-identical in any engine, unlike a float SUM whose
+    value depends on partial-aggregation order."""
+    from predicate_finder_spark.functions.analysis import quality_score
+    from predicate_finder_spark.functions.urls import url_host
+
+    d = _t(spark, sf, "documents")
+    host = url_host(F.concat(F.lit("http://"), F.col("source"), F.lit(".example.com/p")))
+    qmicro = F.round(quality_score(F.col("text")) * 1e6).cast("long")
+    return (
+        d.select(host.alias("host"), F.col("lang"), qmicro.alias("qmicro"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.round(
+                F.sum("qmicro").cast("double") / F.count(F.lit(1)).cast("double") / 1e6, 6
+            ).alias("avg_quality"),
+        )
+    )
+
+
+def q69_temperature_mix(spark, sf):
+    """Temperature-resampled training mixture (operators/sampling.py):
+    per-language share ∝ n^0.5, target 40% of the corpus — ONE
+    map-side-combinable count per group, broadcast thresholds, md5
+    keep-filter; the corpus never shuffles.  Thresholds use integer
+    weights + a pinned chain of correctly-rounded IEEE ops, so the kept
+    row set is bit-identical in the oracle."""
+    from predicate_finder_spark.operators.sampling import temperature_sample
+
+    d = _t(spark, sf, "documents")
+    target = d.count() * 2 // 5  # dimension-bounded driver count, mirrored in SQL
+    out = temperature_sample(d, "lang", "doc_id", target_rows=target, tau=0.5)
+    return out.select("doc_id", "lang")
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -967,6 +1033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_decontam": q64_decontam,
         "q65_components": q65_components,
         "q66_pack_chunks": q66_pack_chunks,
+        "q67_url_canonical": q67_url_canonical,
+        "q68_domain_stats": q68_domain_stats,
+        "q69_temperature_mix": q69_temperature_mix,
     }
 
 
@@ -1729,6 +1798,101 @@ def oracle_sql() -> dict[str, str]:
                ((tok_offset + greatest(n_tokens, 1) - 1) // 64
                 - tok_offset // 64 + 1)::BIGINT AS chunks_spanned
         FROM packed
+    """
+    # q67: the same messy URL is rebuilt in SQL and pushed through the
+    # identical regex chain (Java-regex ∩ RE2 patterns; DuckDB needs the
+    # explicit 'g' flag where Spark replaces all matches)
+    _TRK = r"(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
+    sqls["q67_url_canonical"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+                 'HTTP://User@WWW.' || upper(source) || '.COM:80/D' || doc_id ||
+                 '/Page?utm_source=s' || doc_id || '&q=' || (doc_id % 7) ||
+                 '&gclid=g' || doc_id || '#frag' AS url
+          FROM documents
+        ), s AS (
+          SELECT doc_id, url,
+                 regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+                 regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+          FROM m
+        ), h AS (
+          SELECT *, lower(regexp_replace(hostport, '^[^@]*@', '')) AS host0 FROM s
+        ), h2 AS (
+          SELECT *,
+            CASE WHEN lower(scheme) = 'http'  AND host0 LIKE '%:80'
+                   THEN regexp_replace(host0, ':80$', '')
+                 WHEN lower(scheme) = 'https' AND host0 LIKE '%:443'
+                   THEN regexp_replace(host0, ':443$', '')
+                 ELSE host0 END AS host
+          FROM h
+        ), c AS (
+          SELECT *,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              rest, '#.*$', ''), '&{_TRK}', '', 'g'),
+              '\\?{_TRK}&', '?'), '\\?{_TRK}$', '') AS rest_c
+          FROM h2
+        )
+        SELECT doc_id,
+               CASE WHEN scheme <> '' THEN lower(scheme) || '://' || host || rest_c
+                    ELSE '' END AS canon_url,
+               CASE WHEN scheme <> '' THEN host ELSE '' END AS host
+        FROM c
+    """
+    # q68: quality mean via exact integer micro-unit sum (order-independent)
+    # then one double division — reuses the q53 quality expression
+    sqls["q68_domain_stats"] = f"""
+        WITH t AS (
+          SELECT lower(source || '.example.com') AS host, lang,
+                 list_transform({_TOK}, x -> lower(x)) AS toks
+          FROM documents
+        ), s AS (
+          SELECT host, lang,
+                 len(toks) AS n,
+                 len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS alpha,
+                 len(list_filter(toks, x -> x IN {_estop})) AS stop,
+                 CASE WHEN len(toks) > 0
+                      THEN list_sum(list_transform(toks, x -> len(x))) / len(toks)::DOUBLE
+                      ELSE 0.0 END AS mean_len
+          FROM t
+        ), q AS (
+          SELECT host, lang,
+                 CAST(round(((least(n / 100.0, 1.0)
+                      + CASE WHEN n > 0 THEN alpha / n::DOUBLE ELSE 0.0 END
+                      + least((CASE WHEN n > 0 THEN stop / n::DOUBLE ELSE 0.0 END) * 4.0, 1.0)
+                      + CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.5 END
+                     ) / 4.0) * 1000000.0) AS BIGINT) AS qmicro
+          FROM s
+        )
+        SELECT host, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+               round(sum(qmicro)::DOUBLE / count(*)::DOUBLE / 1000000.0, 6) AS avg_quality
+        FROM q GROUP BY host
+    """
+    # q69: integer weights floor(sqrt(n)*1e6), order-independent BIGINT
+    # normalizing sum, pinned chain of correctly-rounded IEEE ops for the
+    # per-group threshold, md5 hex-fold keep-filter — all bit-identical
+    sqls["q69_temperature_mix"] = """
+        WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        w AS (
+          SELECT lang, n,
+                 CAST(floor(sqrt(n::DOUBLE) * 1000000.0) AS BIGINT) AS weight
+          FROM cnt
+        ),
+        tot AS (SELECT sum(weight) AS tw FROM w),
+        tgt AS (SELECT (count(*) * 2) // 5 AS t FROM documents),
+        thr AS (
+          SELECT lang,
+                 least(4294967296,
+                   CAST(floor((t::DOUBLE * 4294967296.0) * weight::DOUBLE
+                              / tw::DOUBLE / n::DOUBLE) AS BIGINT)) AS thr32
+          FROM w, tot, tgt
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN thr USING (lang)
+        WHERE list_reduce(list_prepend(0::BIGINT,
+                list_transform(range(1, 9),
+                  i -> (strpos('0123456789abcdef', md5(d.doc_id::VARCHAR)[i]) - 1)::BIGINT)),
+                (a, b) -> a * 16 + b) < thr32
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the
