@@ -1,0 +1,170 @@
+"""Incremental KG construction: process only never-seen pages per batch.
+
+A production crawl pipeline never reprocesses the corpus: each new crawl
+snapshot is diffed against the set of already-processed URLs, only the
+delta flows through extraction, and the graph is the union of all
+committed batches.  This works because the flagship plan is per-page
+decomposable ONCE the corpus-level state is pinned: extraction, linking
+(dictionary-side disambiguation), pairing, the KG join, and scoring are
+all pure functions of (page, dictionaries) — so batch boundaries cannot
+change any triple.  The one non-decomposable input, IDF/embedding
+state, must therefore be passed in fixed (``scorer_dicts`` from
+``plans.pipeline.build_scorer_dicts`` or a materialized ``idf`` table);
+this module refuses to run without it rather than silently producing
+batch-dependent scores.
+
+State layout (append-only, crash-safe — the parquet/manifest stand-in
+for Iceberg snapshot appends, same rationale as sources/tables.py):
+
+    state_dir/batches/<batch_id>/triples/   triples of this delta
+    state_dir/batches/<batch_id>/urls/      urls processed by this delta
+    state_dir/batches/<batch_id>/_batch.json   atomic commit marker
+
+A batch exists iff its ``_batch.json`` marker committed (tmp + rename);
+a crash mid-batch leaves no marker, the partial dirs are ignored, and
+the next run reprocesses that delta — idempotent by construction, no
+cleanup step.  Readers take the union of committed batches only.
+
+Scale shape at 10^12 docs: delta detection is ONE anti-join of the
+snapshot against the processed-url table (shuffle on url, AQE-handled
+skew); everything downstream touches only the delta.  The seen-url side
+grows monotonically but stores one short string per page — at Common
+Crawl scale it is the same order as a single crawl's url list, and the
+anti-join is the standard "new-crawl minus seen" step every crawler
+runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.config import PipelineConfig
+from predicate_finder_spark.plans.pipeline import extract_triples
+from predicate_finder_spark.sources.tables import read_manifest, write_stage
+
+_BATCH_MARKER = "_batch.json"
+
+
+def _batches_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "batches")
+
+
+def committed_batches(state_dir: str) -> list[str]:
+    """Batch ids with a committed marker, in commit order (ties: name)."""
+    bd = _batches_dir(state_dir)
+    if not os.path.isdir(bd):
+        return []
+    out = []
+    for name in os.listdir(bd):
+        marker = os.path.join(bd, name, _BATCH_MARKER)
+        try:
+            with open(marker) as f:
+                meta = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue  # torn or absent marker: batch never happened
+        out.append((meta.get("committed_at", 0.0), name))
+    return [name for _, name in sorted(out)]
+
+
+def incremental_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """(cumulative triples, processed urls) across committed batches, or
+    (None, None) when no batch has ever committed."""
+    names = committed_batches(state_dir)
+    if not names:
+        return None, None
+    bd = _batches_dir(state_dir)
+    triples = [spark.read.parquet(os.path.join(bd, n, "triples")) for n in names]
+    urls = [spark.read.parquet(os.path.join(bd, n, "urls")) for n in names]
+    t = triples[0]
+    for x in triples[1:]:
+        t = t.unionByName(x)
+    u = urls[0]
+    for x in urls[1:]:
+        u = u.unionByName(x)
+    return t, u
+
+
+def extract_triples_incremental(
+    spark: SparkSession,
+    pages: DataFrame,
+    aliases: DataFrame,
+    kg_triples: DataFrame,
+    ontology: DataFrame,
+    embeddings: DataFrame,
+    state_dir: str,
+    batch_id: str,
+    cfg: PipelineConfig | None = None,
+    idf: DataFrame | None = None,
+    scorer_dicts: tuple[dict, dict] | None = None,
+) -> DataFrame:
+    """Process the pages of ``pages`` not yet in ``state_dir``, commit them
+    as batch ``batch_id``, and return the cumulative triples table.
+
+    Re-running with the same ``batch_id`` after a successful commit is a
+    no-op read; re-running after a crash redoes the delta (the torn batch
+    was never visible).  ``pages`` may be a full snapshot (superset of
+    everything seen) or a pure delta feed — the anti-join makes both
+    equivalent.
+    """
+    if idf is None and scorer_dicts is None:
+        raise ValueError(
+            "incremental runs need corpus-level scorer state pinned: pass "
+            "idf= or scorer_dicts= (plans.pipeline.build_scorer_dicts); a "
+            "per-batch IDF would make scores depend on batch boundaries"
+        )
+    cfg = cfg or PipelineConfig()
+    prior_triples, seen_urls = incremental_state(spark, state_dir)
+    batch_dir = os.path.join(_batches_dir(state_dir), batch_id)
+    if os.path.exists(os.path.join(batch_dir, _BATCH_MARKER)):
+        return prior_triples  # this batch already committed
+
+    delta = (
+        pages.join(seen_urls.select("url"), "url", "left_anti")
+        if seen_urls is not None else pages
+    )
+    # dimension-bounded existence probe (limit 1), not a full count
+    if delta.limit(1).count() == 0:
+        return prior_triples if prior_triples is not None else _empty_like(spark)
+
+    tri = extract_triples(
+        spark, delta, aliases, kg_triples, ontology, embeddings,
+        cfg=cfg, idf=idf, scorer_dicts=scorer_dicts,
+    )
+    ch = cfg.config_hash()
+    # commit order: data tables first, marker last (tmp + rename) — the
+    # batch becomes visible atomically with both tables in place
+    write_stage(tri, os.path.join(batch_dir, "triples"), "inc_triples", ch)
+    write_stage(
+        delta.select("url").distinct(), os.path.join(batch_dir, "urls"),
+        "inc_urls", ch,
+    )
+    marker = {
+        "batch_id": batch_id,
+        "config_hash": ch,
+        "committed_at": time.time(),
+        "triples_rows": (read_manifest(os.path.join(batch_dir, "triples")) or {}).get(
+            "rows"
+        ),
+    }
+    tmp = os.path.join(batch_dir, _BATCH_MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(marker, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(batch_dir, _BATCH_MARKER))
+
+    cum, _ = incremental_state(spark, state_dir)
+    return cum
+
+
+def _empty_like(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "subj string, pred string, obj string, score double, url string, "
+        "provenance struct<stage:string, rule:string>",
+    )

@@ -1,0 +1,113 @@
+"""Incremental batch extraction (plans/incremental): delta-only
+processing, batch-boundary invariance, crash-safe commit markers."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.operators.extract import extract_pages
+from predicate_finder_spark.operators.mentions import explode_sentences
+from predicate_finder_spark.operators.scoring import build_idf
+from predicate_finder_spark.plans.incremental import (
+    committed_batches,
+    extract_triples_incremental,
+    incremental_state,
+)
+from predicate_finder_spark.plans.pipeline import build_scorer_dicts, extract_triples
+
+
+@pytest.fixture(scope="module")
+def dicts(spark, corpus):
+    """Corpus-level scorer state, pinned once — the incremental contract."""
+    idf_df = build_idf(explode_sentences(extract_pages(corpus["pages"]))).cache()
+    d = build_scorer_dicts(
+        idf_df, corpus["kg_triples"], corpus["ontology"], corpus["embeddings"]
+    )
+    return idf_df, d
+
+
+def _sorted_triples(df):
+    return sorted(
+        (r["url"], r["subj"], r["pred"], r["obj"], round(r["score"], 9))
+        for r in df.collect()
+    )
+
+
+def _run_inc(spark, corpus, dicts, pages, state_dir, batch_id):
+    idf_df, d = dicts
+    return extract_triples_incremental(
+        spark, pages, corpus["aliases"], corpus["kg_triples"],
+        corpus["ontology"], corpus["embeddings"],
+        state_dir=state_dir, batch_id=batch_id, idf=idf_df, scorer_dicts=d,
+    )
+
+
+def test_batched_equals_full_run(spark, corpus, dicts, tmp_path_factory):
+    """Two incremental batches == one full run, triple-for-triple: the
+    per-page-decomposability claim, executed."""
+    state = str(tmp_path_factory.mktemp("inc_state"))
+    pages = corpus["pages"]
+    first = pages.filter(F.crc32(F.col("url")) % 5 < 3)  # ~60%
+    cum1 = _run_inc(spark, corpus, dicts, first, state, "b1")
+    n1 = cum1.count()
+    assert n1 > 0
+    # second batch gets the FULL snapshot; anti-join must reduce it to the delta
+    cum2 = _run_inc(spark, corpus, dicts, pages, state, "b2")
+    idf_df, d = dicts
+    full = extract_triples(
+        spark, pages, corpus["aliases"], corpus["kg_triples"],
+        corpus["ontology"], corpus["embeddings"], idf=idf_df, scorer_dicts=d,
+    )
+    assert _sorted_triples(cum2) == _sorted_triples(full)
+    assert cum2.count() > n1
+    assert committed_batches(state) == ["b1", "b2"]
+
+
+def test_committed_batch_is_noop_and_empty_delta(spark, corpus, dicts, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("inc_state2"))
+    pages = corpus["pages"]
+    cum1 = _run_inc(spark, corpus, dicts, pages, state, "b1")
+    want = _sorted_triples(cum1)
+    # same batch_id again: committed -> read-only no-op
+    again = _run_inc(spark, corpus, dicts, pages, state, "b1")
+    assert _sorted_triples(again) == want
+    # new batch over the same snapshot: empty delta, nothing new committed
+    again2 = _run_inc(spark, corpus, dicts, pages, state, "b2")
+    assert _sorted_triples(again2) == want
+    assert committed_batches(state) == ["b1"]
+
+
+def test_torn_batch_is_invisible_and_reprocessed(spark, corpus, dicts, tmp_path_factory):
+    """A batch dir without its marker (crash before commit) is ignored by
+    readers and its pages are reprocessed by the next batch."""
+    state = str(tmp_path_factory.mktemp("inc_state3"))
+    pages = corpus["pages"]
+    cum1 = _run_inc(spark, corpus, dicts, pages, state, "b1")
+    want = _sorted_triples(cum1)
+    # simulate the crash: delete the marker, leave the data dirs
+    os.remove(os.path.join(state, "batches", "b1", "_batch.json"))
+    t, u = incremental_state(spark, state)
+    assert t is None and u is None
+    assert committed_batches(state) == []
+    # rerun under a new id: full delta reprocessed, same cumulative result
+    cum2 = _run_inc(spark, corpus, dicts, pages, state, "b2")
+    assert _sorted_triples(cum2) == want
+    # torn marker bytes (crash mid-write of a non-tmp file) also invisible
+    with open(os.path.join(state, "batches", "b2", "_batch.json"), "w") as f:
+        f.write('{"batch_id": "b2", "commit')
+    assert committed_batches(state) == []
+
+
+def test_requires_pinned_scorer_state(spark, corpus, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("inc_state4"))
+    with pytest.raises(ValueError, match="scorer state"):
+        extract_triples_incremental(
+            spark, corpus["pages"], corpus["aliases"], corpus["kg_triples"],
+            corpus["ontology"], corpus["embeddings"],
+            state_dir=state, batch_id="b1",
+        )
