@@ -942,6 +942,32 @@ def q69_temperature_mix(spark, sf):
     return out.select("doc_id", "lang")
 
 
+def q70_bpe_pieces(spark, sf):
+    """BPE tokenizer application (operators/bpe.py): pinned 64-merge table
+    (PINNED_WORD_FREQS — corpus-learned merges are sf-dependent, covered by
+    test_bpe), distributed apply via the Arrow-batched pandas UDF with the
+    shared engine tokenizer.  Oracled q44-style: expected
+    (n_pieces, md5-of-pieces) per md5(text), generated by the pure-python
+    reference path (bin/gen_q70_expected.py)."""
+    from predicate_finder_spark.operators.bpe import (
+        PINNED_WORD_FREQS,
+        learn_bpe,
+        make_bpe_udf,
+    )
+
+    merges = learn_bpe(list(PINNED_WORD_FREQS), 64)
+    pieces = make_bpe_udf(merges)(F.col("text"))
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(pieces).cast("long").alias("n_pieces"),
+            F.md5(F.array_join(pieces, "|")).alias("pieces_hash"),
+        )
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1036,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_url_canonical": q67_url_canonical,
         "q68_domain_stats": q68_domain_stats,
         "q69_temperature_mix": q69_temperature_mix,
+        "q70_bpe_pieces": q70_bpe_pieces,
     }
 
 
@@ -1893,6 +1920,28 @@ def oracle_sql() -> dict[str, str]:
                 list_transform(range(1, 9),
                   i -> (strpos('0123456789abcdef', md5(d.doc_id::VARCHAR)[i]) - 1)::BIGINT)),
                 (a, b) -> a * 16 + b) < thr32
+    """
+    # q70: q44-style expected-value oracle (BPE application is iterative —
+    # not SQL-expressible — but a pure function of the text given the
+    # pinned merge table, so the python reference path's outputs join back
+    # by md5(text))
+    _q70_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "predicate_finder_spark", "resources", "q70_expected.json",
+    )
+    with open(_q70_path) as _f:
+        _q70 = _json.load(_f)
+    _q70_vals = ",\n          ".join(
+        "('{}', {}, '{}')".format(h, v.split("|")[0], v.split("|")[1])
+        for h, v in sorted(_q70.items())
+    )
+    sqls["q70_bpe_pieces"] = f"""
+        WITH expected(h, n_pieces, pieces_hash) AS (VALUES
+          {_q70_vals}
+        )
+        SELECT d.doc_id, e.n_pieces, e.pieces_hash
+        FROM documents d JOIN expected e ON md5(d.text) = e.h
+        WHERE d.doc_id < 200
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

@@ -10,6 +10,8 @@ WholeStageCodegen, never touch Python at execution time.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -17,6 +19,15 @@ from pyspark.sql import functions as F
 WH_WORDS = ("what", "which", "who", "whom", "whose", "where", "when", "how")
 
 _PUNCT_PAD = r"([?.,!;:()\"'])"
+_PUNCT_PAD_PY = re.compile(_PUNCT_PAD)
+
+
+def py_tokenize(s: str | None) -> list[str]:
+    """Python twin of :func:`tokenize` for pandas-UDF interiors (the one
+    place row-level Python is allowed).  MUST stay in lockstep with the
+    column version — equality on punctuated text is pinned by
+    tests/test_bpe.py."""
+    return _PUNCT_PAD_PY.sub(r" \1 ", s or "").split()
 
 
 def tokenize(col: Column | str) -> Column:
