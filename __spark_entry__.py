@@ -968,6 +968,26 @@ def q70_bpe_pieces(spark, sf):
     )
 
 
+def q71_quality_fitted(spark, sf):
+    """Fitted quality classifier inference (operators/quality.py): pinned
+    IRLS-fitted weights folded into ONE JVM-side column expression — the
+    6 curation features (log-tokens, alpha/stop/digit ratios, mean word
+    length, 2-gram repetition) and the log-odds score, zero Python
+    workers.  Fully value-oracled: DuckDB recomputes every feature and the
+    literal-weight dot product."""
+    from predicate_finder_spark.operators.quality import (
+        PINNED_QUALITY_WEIGHTS,
+        quality_logit,
+    )
+
+    z = quality_logit(F.col("text"), weights=PINNED_QUALITY_WEIGHTS)
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.round(z, 6).alias("logit"),
+        (z >= 0).cast("int").alias("keep"),
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1063,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_domain_stats": q68_domain_stats,
         "q69_temperature_mix": q69_temperature_mix,
         "q70_bpe_pieces": q70_bpe_pieces,
+        "q71_quality_fitted": q71_quality_fitted,
     }
 
 
@@ -1942,6 +1963,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, e.n_pieces, e.pieces_hash
         FROM documents d JOIN expected e ON md5(d.text) = e.h
         WHERE d.doc_id < 200
+    """
+    # q71: every feature of the fitted quality classifier recomputed in
+    # DuckDB (same lowered-token base as q53; rep_ratio's 2-grams use the
+    # RAW-case tokens, mirroring functions/analysis.repetition_ratio) and
+    # the pinned weights inlined as full-precision literals — repr() is
+    # shortest-round-trip, so both engines parse the identical double
+    from predicate_finder_spark.operators.quality import PINNED_QUALITY_WEIGHTS
+
+    (_qw0, _qw1, _qw2, _qw3, _qw4, _qw5), _qb = PINNED_QUALITY_WEIGHTS
+    sqls["q71_quality_fitted"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOK} AS ts,
+                 list_transform({_TOK}, x -> lower(x)) AS toks
+          FROM documents
+        ), f AS (
+          SELECT doc_id,
+                 len(toks) AS n,
+                 CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END::DOUBLE AS safe,
+                 len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))::DOUBLE AS alpha,
+                 len(list_filter(toks, x -> x IN {_estop}))::DOUBLE AS stop,
+                 len(list_filter(toks, x -> regexp_matches(x, '[0-9]')))::DOUBLE AS digit,
+                 CASE WHEN len(toks) > 0
+                      THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)::DOUBLE
+                      ELSE 0.0 END AS mean_len,
+                 CASE WHEN len(ts) >= 2
+                      THEN 1.0 - len(list_distinct(list_transform(
+                             range(0, len(ts) - 1), i -> ts[i + 1] || ' ' || ts[i + 2]
+                           )))::DOUBLE / (len(ts) - 1)::DOUBLE
+                      ELSE 0.0 END AS rep
+          FROM t
+        ), z AS (
+          SELECT doc_id,
+                 {_qb!r} + {_qw0!r} * ln(1.0 + n)
+                         + {_qw1!r} * (alpha / safe)
+                         + {_qw2!r} * (stop / safe)
+                         + {_qw3!r} * mean_len
+                         + {_qw4!r} * rep
+                         + {_qw5!r} * (digit / safe)
+                   AS zval
+          FROM f
+        )
+        SELECT doc_id, round(zval, 6) AS logit,
+               CAST(zval >= 0 AS INT) AS keep
+        FROM z
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

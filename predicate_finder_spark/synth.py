@@ -387,3 +387,49 @@ def synth_corpus(spark: SparkSession, n_pages: int, n_entities: int = 200) -> di
         "ontology": build_ontology(spark),
         "embeddings": build_embeddings(spark),
     }
+
+
+# --- labeled quality sample (operators/quality.py fitting fixture) -------
+
+_CLEAN_SENTS = [
+    "the committee agreed that the proposal was sound and they moved to adopt it",
+    "she walked along the river in the early morning while the town was still quiet",
+    "after the meeting he wrote a short summary and sent it to the whole team",
+    "the harvest was late that year because the rains had come early in the season",
+    "a small library stood at the corner where the old road met the new bridge",
+    "they discussed the plan over dinner and decided to leave before sunrise",
+    "the teacher explained the idea again slowly until every student could follow",
+    "when the storm passed the fishermen returned to the harbor with a full catch",
+]
+
+_SPAM_SENTS = [
+    "buy now 4999 4999 buy now 4999 4999 buy now 4999 4999",
+    "click click click 777 777 777 click click click 777 777 777",
+    "win win win 100 100 100 win win win 100 100 100",
+    "zzz qqq zzz qqq 555 zzz qqq zzz qqq 555 zzz qqq",
+    "free free free 2026 2026 free free free 2026 2026 free free",
+    "sale sale 99 99 sale sale 99 99 sale sale 99 99",
+    "xx yy xx yy 42 42 xx yy xx yy 42 42",
+    "subscribe subscribe 000 000 subscribe subscribe 000 000 subscribe subscribe 000 000",
+]
+
+
+def synth_quality_sample(spark: SparkSession, n: int = 400) -> DataFrame:
+    """Labeled documents for quality-classifier fitting: ``(doc_id, text,
+    label)`` with label 1.0 = clean prose (stopword-rich, alphabetic) and
+    0.0 = spam (repetitive, digit-laden).  Same scale-proof determinism as
+    the corpus generator: every choice is md5(doc_id, slot) — no RNG state,
+    identical at any parallelism."""
+    clean = F.array(*[F.lit(s) for s in _CLEAN_SENTS])
+    spam = F.array(*[F.lit(s) for s in _SPAM_SENTS])
+    label = (F.col("id") % 2).cast("double")
+    pool = F.when(label == 1.0, clean).otherwise(spam)
+    sents = [
+        _pick(pool, _u("quality", F.col("id"), k), len(_CLEAN_SENTS))
+        for k in range(3)
+    ]
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" . ", *sents).alias("text"),
+        label.alias("label"),
+    )
