@@ -51,19 +51,34 @@ def curate_docs(
     bands: int = 4,
     max_shingle_df: int | None = None,
     victim_policy: str = "pair",
+    quality_model=None,
 ) -> DataFrame:
     """Return the surviving rows of ``docs`` (original schema plus
     ``quality`` and ``lang_pred``), after:
 
-    1. quality_score(text) >= min_quality   (C4-style heuristics)
+    1. quality gate: heuristic quality_score(text) >= min_quality by
+       default; pass ``quality_model`` (model bytes from
+       operators/quality.fit_quality_classifier, or a ``(weights, bias)``
+       tuple like PINNED_QUALITY_WEIGHTS) to gate on the FITTED
+       classifier's probability instead — still a pure column expression,
+       so the gate stays shuffle-free and Python-free either way
     2. lang_id(text) in langs               (stopword-profile argmax)
     3. exact dedup                          (lowest id per md5(text))
     4. near-dup dedup: ``near_dup`` = 'minhash' (MinHash-LSH blocked
        candidates, Jaccard-verified — the scale path), 'jaccard' (exact
        inverted-index pairs — the oracle-friendly exact path), or None.
     """
+    if quality_model is None:
+        qcol = quality_score(F.col(text_col))
+    else:
+        from predicate_finder_spark.operators.quality import quality_probability
+
+        if isinstance(quality_model, tuple):
+            qcol = quality_probability(F.col(text_col), weights=quality_model)
+        else:
+            qcol = quality_probability(F.col(text_col), quality_model)
     kept = (
-        docs.withColumn("quality", F.round(quality_score(F.col(text_col)), 6))
+        docs.withColumn("quality", F.round(qcol, 6))
         .withColumn("lang_pred", lang_id(F.col(text_col)))
         .filter(
             (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)

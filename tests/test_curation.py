@@ -128,3 +128,24 @@ def test_bad_near_dup_mode_raises(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     with pytest.raises(ValueError, match="near_dup"):
         curate_docs(docs, near_dup="bogus")
+
+
+def test_fitted_quality_model_gate(spark):
+    """quality_model switches the gate to the FITTED classifier: clean
+    prose survives, spam is dropped, and the gate stays Python-free (the
+    fitted inference is a column expression, plan-guarded in
+    test_quality)."""
+    from predicate_finder_spark.operators.quality import PINNED_QUALITY_WEIGHTS
+    from predicate_finder_spark.synth import synth_quality_sample
+
+    sample = synth_quality_sample(spark, 40)  # label 1 = prose, 0 = spam
+    kept = curate_docs(
+        sample, min_quality=0.5, langs=ALL_LANGS, near_dup=None,
+        quality_model=PINNED_QUALITY_WEIGHTS,
+    )
+    labels = {r["label"] for r in kept.select("label").distinct().collect()}
+    assert labels == {1.0}, labels
+    # every distinct prose text survives (exact dedup may fold docs whose
+    # 3 sentence draws collided); no spam text does
+    n_prose_texts = sample.filter("label = 1.0").select("text").distinct().count()
+    assert kept.count() == n_prose_texts
