@@ -988,6 +988,20 @@ def q71_quality_fitted(spark, sf):
     )
 
 
+def q72_pagerank(spark, sf):
+    """Entity-salience PageRank over the materialized KG edge list
+    (operators/graph.pagerank): 5 iterations, damping 0.85, ranks in LONG
+    micro-units with exact integer division — order-independent sums, so
+    the ranking is deterministic at any parallelism AND the whole
+    iterative computation is value-exact in SQL (the oracle unrolls the 5
+    iterations; no tolerance anywhere)."""
+    from predicate_finder_spark.operators.graph import pagerank
+    from predicate_finder_spark.plans.pipeline import materialize_graph
+
+    _, edges = materialize_graph(_q55_cands(spark, sf))
+    return pagerank(edges, n_iter=5)
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1084,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_temperature_mix": q69_temperature_mix,
         "q70_bpe_pieces": q70_bpe_pieces,
         "q71_quality_fitted": q71_quality_fitted,
+        "q72_pagerank": q72_pagerank,
     }
 
 
@@ -2008,6 +2023,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(zval >= 0 AS INT) AS keep
         FROM z
     """
+    # q72: the 5 PageRank iterations unrolled as chained CTEs — every
+    # reduction is integer arithmetic (micro-unit ranks, floor division),
+    # so the iterative computation matches the engine bit-for-bit; sums
+    # come back HUGEINT in DuckDB, hence the final BIGINT cast
+    _PR_SCALE = 10**12
+    _pr = f"""
+        WITH cand AS MATERIALIZED ({_q55_sql}),
+        e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM cand),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+        ),
+        deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        p AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, {_PR_SCALE} // (SELECT n FROM p) AS r FROM nodes)"""
+    # every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and r{i-1} has two consumers (contrib + dangling), which
+    # would re-evaluate the whole upstream chain exponentially
+    for _i in range(1, 6):
+        _pr += f""",
+        c{_i} AS MATERIALIZED (
+          SELECT e.dst AS node, sum(r.r // d.deg) AS contrib
+          FROM e JOIN r{_i - 1} r ON e.src = r.node
+                 JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ),
+        g{_i} AS MATERIALIZED (
+          SELECT coalesce(sum(r.r), 0) // (SELECT n FROM p) AS share
+          FROM r{_i - 1} r LEFT JOIN deg d ON r.node = d.src
+          WHERE d.src IS NULL
+        ),
+        r{_i} AS MATERIALIZED (
+          SELECT n.node,
+                 (15 * {_PR_SCALE}) // (100 * (SELECT n FROM p))
+                 + (85 * (coalesce(c.contrib, 0) + (SELECT share FROM g{_i}))) // 100
+                   AS r
+          FROM nodes n LEFT JOIN c{_i} c ON n.node = c.node
+        )"""
+    _pr += f"""
+        SELECT node, CAST(r AS BIGINT) AS rank_units,
+               CAST(r AS DOUBLE) / {_PR_SCALE}.0 AS rank
+        FROM r5
+    """
+    sqls["q72_pagerank"] = _pr
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the
     # P/R gate; q56/q57 = approximate aggregates whose values are

@@ -179,3 +179,98 @@ def cluster_dedup(
         F.col("node").alias(id_col)
     )
     return docs.join(victims, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """PageRank over a directed edge list -> ``(node, rank_units, rank)``.
+
+    Entity-salience ranking for the materialized KG (plans/pipeline.py
+    materialize_graph edges): which entities anchor the graph.  The
+    reference has no graph analytics; this extends the training-data
+    surface (SURVEY.md §6) the same way connected_components does.
+
+    Determinism at any parallelism — the property float PageRank cannot
+    give: ranks live in LONG micro-units (``scale`` = 1e12 per unit mass)
+    and every per-iteration reduction is an integer sum, so partition
+    order cannot change a single bit.  Per-edge contribution uses exact
+    integer division (``r div deg`` — floor mass loss <= deg units per
+    node per iteration, ~1e-12 of total mass); the update is
+
+        r'(v) = (100-d)*scale // (100*n)
+                + d * (sum_contrib(v) + dangling_sum // n) // 100
+
+    mirroring the float recurrence exactly up to the documented floors.
+    This makes the WHOLE k-iteration computation value-exact expressible
+    in ANSI SQL (the q72 oracle unrolls it), not tolerance-checked.
+
+    100 TB shape: per iteration ONE equi-join of the edge list against the
+    rank frame (both shuffled on node id; AQE splits hub-key skew) and ONE
+    partial-agg groupBy(dst) — no adjacency materialization, no windows,
+    no driver-side loops over rows.  The only driver scalars are n (once)
+    and the 1-row dangling-mass aggregate per iteration.  Edge list and
+    rank state are localCheckpointed so the plan stays iteration-sized.
+
+    Self-loops contribute to their own node (counted in out-degree);
+    multi-edges are deduped.  ``vertices`` adds isolated nodes (rank =
+    teleport share only).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if vertices is not None:
+        nodes = nodes.union(
+            vertices.select(F.col(id_col).alias("node"))
+        ).distinct()
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank_units"),
+            F.lit(0.0).alias("rank"),
+        )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    teleport = ((100 - damping_pct) * scale) // (100 * n)
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    has_out = deg.select(F.col("src").alias("node"))
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dang_row = (
+            ranks.join(has_out, "node", "left_anti").agg(F.sum("r")).first()[0]
+        )
+        dang_share = (dang_row or 0) // n
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"{damping_pct} * (coalesce(contrib, 0L) + {dang_share}L) div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_units"),
+        (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
+    )

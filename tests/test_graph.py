@@ -100,3 +100,88 @@ def test_cluster_dedup_keeps_unpaired_docs(spark):
     pairs = spark.createDataFrame([(0, 4), (4, 5)], "id_a long, id_b long")
     kept = cluster_dedup(docs, pairs)
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 3]
+
+
+# --- pagerank ------------------------------------------------------------
+
+def _pagerank_py(edges, n_iter=5, damping=85, scale=10**12, vertices=()):
+    """Pure-python twin of operators/graph.pagerank's integer recurrence."""
+    from collections import Counter, defaultdict
+
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e} | set(vertices))
+    n = len(nodes)
+    deg = Counter(u for u, _ in e)
+    teleport = ((100 - damping) * scale) // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        contrib = defaultdict(int)
+        for u, v in e:
+            contrib[v] += r[u] // deg[u]
+        dang = sum(r[v] for v in nodes if deg.get(v, 0) == 0)
+        share = dang // n
+        r = {
+            v: teleport + (damping * (contrib.get(v, 0) + share)) // 100
+            for v in nodes
+        }
+    return r
+
+
+def _spark_pagerank(spark, edges, **kw):
+    from predicate_finder_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["node"]: r["rank_units"]
+        for r in pagerank(df, **kw).collect()
+    }
+
+
+def test_pagerank_matches_python_twin(spark):
+    # deterministic pseudo-random digraph with hubs, chains and danglers
+    random.seed(7)
+    edges = [(f"n{random.randrange(30)}", f"n{random.randrange(30)}") for _ in range(120)]
+    edges += [(f"n{i}", "hub") for i in range(10)]        # hub in-links
+    edges += [("hub", "sink")]                            # sink dangles
+    got = _spark_pagerank(spark, edges, n_iter=5)
+    want = _pagerank_py(edges, n_iter=5)
+    assert got == want
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # every spoke links to hub; hub spreads back across all spokes, so its
+    # in-mass (8 whole ranks) dwarfs any spoke's (1/8 of hub's)
+    edges = [(f"n{i}", "hub") for i in range(8)]
+    edges += [("hub", f"n{i}") for i in range(8)]
+    got = _spark_pagerank(spark, edges, n_iter=10)
+    assert max(got, key=got.get) == "hub"
+    assert got == _pagerank_py(edges, n_iter=10)
+
+
+def test_pagerank_partition_invariant(spark):
+    """The integer-units design goal: identical rank_units regardless of
+    input partitioning (float PageRank cannot promise this)."""
+    from predicate_finder_spark.operators.graph import pagerank
+
+    random.seed(11)
+    edges = [(f"n{random.randrange(40)}", f"n{random.randrange(40)}") for _ in range(200)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r["node"]: r["rank_units"] for r in pagerank(df, n_iter=4).collect()}
+    b = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(df.repartition(13), n_iter=4).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_isolated_vertices_get_teleport_only(spark):
+    edges = [("a", "b")]
+    verts = spark.createDataFrame([("a",), ("b",), ("z",)], "id string")
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from predicate_finder_spark.operators.graph import pagerank
+
+    got = {r["node"]: r["rank_units"] for r in pagerank(df, vertices=verts, n_iter=3).collect()}
+    want = _pagerank_py(edges, n_iter=3, vertices=["z"])
+    assert got == want
+    # z receives only teleport + its dangling share back
+    assert got["z"] < got["b"]
