@@ -1002,6 +1002,41 @@ def q72_pagerank(spark, sf):
     return pagerank(edges, n_iter=5)
 
 
+def q73_triple_diff(spark, sf):
+    """KG snapshot delta (operators/evolve.triple_diff): two overlapping
+    corpus slices yield two (source, hasLang, lang) fact snapshots; the
+    delta is added/removed facts — two left_anti equi-joins, never a full
+    outer join over the unchanged majority."""
+    from predicate_finder_spark.operators.evolve import triple_diff
+
+    d = _t(spark, sf, "documents")
+
+    def snap(cond):
+        return d.filter(cond).select(
+            F.col("source").alias("subj"),
+            F.lit("hasLang").alias("pred"),
+            F.col("lang").alias("obj"),
+        )
+
+    return triple_diff(snap(F.col("doc_id") < 300), snap(F.col("doc_id") >= 150))
+
+
+def q74_kg_negatives(spark, sf):
+    """TransE-style negative sampling over the q55 candidate triples
+    (operators/kg_negatives.corrupt_triples): md5-deterministic entity
+    corruption (even slot = subj, odd = obj), false negatives removed by
+    ONE left_anti join against the true set.  The draw arithmetic is
+    engine-portable, so the full sample — index assignment, corruption,
+    anti-join — is value-exact in DuckDB."""
+    from predicate_finder_spark.operators.kg_negatives import corrupt_triples
+
+    base = _q55_cands(spark, sf).select("subj", "pred", "obj")
+    ents = base.select(F.col("subj").alias("entity")).union(
+        base.select(F.col("obj").alias("entity"))
+    )
+    return corrupt_triples(base, ents, n_neg=2)
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1099,6 +1134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_bpe_pieces": q70_bpe_pieces,
         "q71_quality_fitted": q71_quality_fitted,
         "q72_pagerank": q72_pagerank,
+        "q73_triple_diff": q73_triple_diff,
+        "q74_kg_negatives": q74_kg_negatives,
     }
 
 
@@ -2066,6 +2103,57 @@ def oracle_sql() -> dict[str, str]:
         FROM r5
     """
     sqls["q72_pagerank"] = _pr
+    sqls["q73_triple_diff"] = """
+        WITH o AS (
+          SELECT DISTINCT source AS subj, 'hasLang' AS pred, lang AS obj
+          FROM documents WHERE doc_id < 300
+        ), n AS (
+          SELECT DISTINCT source AS subj, 'hasLang' AS pred, lang AS obj
+          FROM documents WHERE doc_id >= 150
+        )
+        SELECT subj, pred, obj, 'added' AS change FROM n
+        WHERE NOT EXISTS (
+          SELECT 1 FROM o WHERE o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj
+        )
+        UNION ALL
+        SELECT subj, pred, obj, 'removed' AS change FROM o
+        WHERE NOT EXISTS (
+          SELECT 1 FROM n WHERE n.subj = o.subj AND n.pred = o.pred AND n.obj = o.obj
+        )
+    """
+    # q74: the negative-sampling draw replayed exactly — row_number entity
+    # index (binary string order in both engines), md5-first-8-hex-chars
+    # fold mod E (functions/hashing.md5_bucket arithmetic), slot-parity
+    # corruption, NOT EXISTS false-negative guard
+    _neg_key = "d.subj || '|' || d.pred || '|' || d.obj || '|' || s.slot::VARCHAR || '|kgneg'"
+    _neg_hash = _hex8.format(s=_neg_key)
+    sqls["q74_kg_negatives"] = f"""
+        WITH cand AS MATERIALIZED ({_q55_sql}),
+        base AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM cand),
+        ents AS (SELECT subj AS e FROM base UNION SELECT obj AS e FROM base),
+        idx AS (SELECT e, row_number() OVER (ORDER BY e) - 1 AS i FROM ents),
+        n AS (SELECT count(*) AS c FROM ents),
+        drawn AS (
+          SELECT d.subj, d.pred, d.obj, s.slot::INT AS slot,
+                 {_neg_hash} % (SELECT c FROM n) AS i
+          FROM base d, (SELECT unnest(range(0, 2)) AS slot) s
+        ),
+        corr AS (
+          SELECT CASE WHEN d.slot % 2 = 0 THEN i2.e ELSE d.subj END AS subj,
+                 d.pred,
+                 CASE WHEN d.slot % 2 = 1 THEN i2.e ELSE d.obj END AS obj,
+                 d.slot
+          FROM drawn d JOIN idx i2 ON d.i = i2.i
+        )
+        SELECT subj, pred, obj, -1 AS slot, 1.0::DOUBLE AS label FROM base
+        UNION ALL
+        SELECT c.subj, c.pred, c.obj, c.slot, 0.0::DOUBLE AS label
+        FROM corr c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM base b
+          WHERE b.subj = c.subj AND b.pred = c.pred AND b.obj = c.obj
+        )
+    """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the
     # P/R gate; q56/q57 = approximate aggregates whose values are

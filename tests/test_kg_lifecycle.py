@@ -1,0 +1,82 @@
+"""KG lifecycle operators: snapshot triple-diff (operators/evolve.py) and
+TransE-style deterministic negative sampling (operators/kg_negatives.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from predicate_finder_spark.operators.evolve import triple_diff
+from predicate_finder_spark.operators.kg_negatives import corrupt_triples
+
+SCHEMA = "subj string, pred string, obj string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_triple_diff_added_and_removed(spark):
+    old = _df(spark, [("a", "p", "b"), ("a", "p", "c"), ("x", "q", "y")])
+    new = _df(spark, [("a", "p", "b"), ("x", "q", "z")])
+    got = {(r.subj, r.pred, r.obj, r.change) for r in triple_diff(old, new).collect()}
+    assert got == {
+        ("x", "q", "z", "added"),
+        ("a", "p", "c", "removed"),
+        ("x", "q", "y", "removed"),
+    }
+
+
+def test_triple_diff_collapses_duplicates_and_identity(spark):
+    old = _df(spark, [("a", "p", "b"), ("a", "p", "b")])
+    new = _df(spark, [("a", "p", "b")])
+    assert triple_diff(old, new).count() == 0
+
+
+def test_corrupt_triples_negatives_never_true(spark):
+    base = _df(
+        spark,
+        [(f"e{i}", "p", f"e{(i + 1) % 6}") for i in range(6)],
+    )
+    ents = spark.createDataFrame([(f"e{i}",) for i in range(6)], "entity string")
+    out = corrupt_triples(base, ents, n_neg=4)
+    negs = out.filter("label = 0.0")
+    # anti-join guarantee: no negative coincides with a true triple
+    assert negs.join(base, ["subj", "pred", "obj"], "inner").count() == 0
+    # all positives present exactly once, slot -1
+    pos = out.filter("label = 1.0")
+    assert pos.count() == 6
+    assert {r.slot for r in pos.collect()} == {-1}
+
+
+def test_corrupt_triples_slot_semantics(spark):
+    base = _df(spark, [("s1", "p", "o1"), ("s2", "p", "o2")])
+    ents = spark.createDataFrame(
+        [(f"z{i}",) for i in range(50)], "entity string"
+    )  # disjoint pool: every draw corrupts
+    out = corrupt_triples(base, ents, n_neg=2).filter("label = 0.0").collect()
+    assert len(out) == 4  # nothing collides with a true triple
+    for r in out:
+        if r.slot % 2 == 0:
+            assert r.subj.startswith("z") and r.obj in ("o1", "o2")
+        else:
+            assert r.obj.startswith("z") and r.subj in ("s1", "s2")
+
+
+def test_corrupt_triples_partition_invariant(spark):
+    base = _df(
+        spark, [(f"e{i}", f"p{i % 3}", f"e{(i * 7) % 20}") for i in range(20)]
+    )
+    ents = spark.createDataFrame([(f"e{i}",) for i in range(20)], "entity string")
+    key = lambda r: (r.subj, r.pred, r.obj, r.slot, r.label)
+    a = sorted(map(key, corrupt_triples(base, ents, n_neg=3).collect()))
+    b = sorted(
+        map(key, corrupt_triples(base.repartition(9), ents, n_neg=3).collect())
+    )
+    assert a == b
+
+
+def test_corrupt_triples_empty_dictionary_raises(spark):
+    base = _df(spark, [("a", "p", "b")])
+    ents = spark.createDataFrame([], "entity string")
+    with pytest.raises(ValueError, match="empty entity dictionary"):
+        corrupt_triples(base, ents)
