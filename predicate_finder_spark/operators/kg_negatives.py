@@ -38,13 +38,18 @@ def corrupt_triples(
     n_neg: int = 2,
     entity_col: str = "entity",
     seed: str = "kgneg",
+    with_source: bool = False,
 ) -> DataFrame:
     """Training rows ``(subj, pred, obj, slot, label)``: each distinct true
     triple with ``slot=-1, label=1.0``, plus up to ``n_neg`` corrupted
     copies (``slot=0..n_neg-1, label=0.0``; even slots replace subj, odd
     replace obj).  Corruptions that collide with a true triple (including
     the degenerate same-entity draw) are dropped, so negatives can come
-    back fewer than ``n_neg`` — by design, never mislabeled."""
+    back fewer than ``n_neg`` — by design, never mislabeled.
+
+    ``with_source=True`` appends ``src_subj, src_obj`` (the uncorrupted
+    triple) so margin-loss trainers (operators/kg_embed.py) can pair each
+    negative with its positive."""
     base = triples.select("subj", "pred", "obj").distinct()
     ents = entities.select(F.col(entity_col).alias("_ent")).distinct()
     n_ent = ents.count()
@@ -62,6 +67,11 @@ def corrupt_triples(
             n_ent,
         ).cast("int"),
     )
+    src_cols = (
+        [F.col("subj").alias("src_subj"), F.col("obj").alias("src_obj")]
+        if with_source
+        else []
+    )
     corrupted = (
         drawn.join(F.broadcast(idx), "_idx")
         .select(
@@ -73,11 +83,17 @@ def corrupt_triples(
             .otherwise(F.col("obj"))
             .alias("obj"),
             "slot",
+            *src_cols,
         )
         .join(base, ["subj", "pred", "obj"], "left_anti")
         .withColumn("label", F.lit(0.0))
     )
     positives = base.select(
-        "subj", "pred", "obj", F.lit(-1).alias("slot"), F.lit(1.0).alias("label")
+        "subj", "pred", "obj", F.lit(-1).alias("slot"), F.lit(1.0).alias("label"),
+        *(
+            [F.col("subj").alias("src_subj"), F.col("obj").alias("src_obj")]
+            if with_source
+            else []
+        ),
     )
     return positives.unionByName(corrupted)
