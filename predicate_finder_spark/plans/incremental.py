@@ -91,6 +91,24 @@ def incremental_state(
     return t, u
 
 
+def seen_content_hashes(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Union of committed batches' content-hash tables (``hashes/`` dirs),
+    or None when no committed batch carries one.  Batches committed before
+    content-dedup existed (or with it off) simply contribute nothing."""
+    bd = _batches_dir(state_dir)
+    frames = []
+    for name in committed_batches(state_dir):
+        p = os.path.join(bd, name, "hashes")
+        if os.path.isdir(p):
+            frames.append(spark.read.parquet(p))
+    if not frames:
+        return None
+    out = frames[0]
+    for x in frames[1:]:
+        out = out.unionByName(x)
+    return out
+
+
 def extract_triples_incremental(
     spark: SparkSession,
     pages: DataFrame,
@@ -103,6 +121,7 @@ def extract_triples_incremental(
     cfg: PipelineConfig | None = None,
     idf: DataFrame | None = None,
     scorer_dicts: tuple[dict, dict] | None = None,
+    dedup_content: bool = False,
 ) -> DataFrame:
     """Process the pages of ``pages`` not yet in ``state_dir``, commit them
     as batch ``batch_id``, and return the cumulative triples table.
@@ -112,6 +131,14 @@ def extract_triples_incremental(
     was never visible).  ``pages`` may be a full snapshot (superset of
     everything seen) or a pure delta feed — the anti-join makes both
     equivalent.
+
+    ``dedup_content=True`` additionally drops crawl mirrors: pages whose
+    ``md5(text)`` already appeared in ANY committed batch (one more
+    anti-join — on a 16-byte key, not documents), plus within-batch exact
+    duplicates (lowest url survives, operators/dedup semantics).  Mirror
+    urls still commit to the seen-url table, so they are never re-fetched
+    into a later delta; the per-batch ``hashes/`` table is the growing
+    corpus fingerprint set — same monotone-state shape as seen urls.
     """
     if idf is None and scorer_dicts is None:
         raise ValueError(
@@ -133,9 +160,27 @@ def extract_triples_incremental(
     if delta.limit(1).count() == 0:
         return prior_triples if prior_triples is not None else _empty_like(spark)
 
-    tri = extract_triples(
-        spark, delta, aliases, kg_triples, ontology, embeddings,
-        cfg=cfg, idf=idf, scorer_dicts=scorer_dicts,
+    extract_input = delta
+    if dedup_content:
+        from predicate_finder_spark.operators.dedup import exact_dedup
+
+        seen_h = seen_content_hashes(spark, state_dir)
+        hashed = delta.withColumn("_h", F.md5("text"))
+        if seen_h is not None:
+            hashed = hashed.join(seen_h.select("_h"), "_h", "left_anti")
+        extract_input = exact_dedup(
+            hashed, id_col="url", text_col="text"
+        ).drop("_h")
+        if extract_input.limit(1).count() == 0:
+            extract_input = None  # all mirrors; still commit urls below
+
+    tri = (
+        extract_triples(
+            spark, extract_input, aliases, kg_triples, ontology, embeddings,
+            cfg=cfg, idf=idf, scorer_dicts=scorer_dicts,
+        )
+        if extract_input is not None
+        else _empty_like(spark)
     )
     ch = cfg.config_hash()
     # commit order: data tables first, marker last (tmp + rename) — the
@@ -145,6 +190,11 @@ def extract_triples_incremental(
         delta.select("url").distinct(), os.path.join(batch_dir, "urls"),
         "inc_urls", ch,
     )
+    if dedup_content:
+        write_stage(
+            delta.select(F.md5("text").alias("_h")).distinct(),
+            os.path.join(batch_dir, "hashes"), "inc_hashes", ch,
+        )
     marker = {
         "batch_id": batch_id,
         "config_hash": ch,

@@ -111,3 +111,58 @@ def test_requires_pinned_scorer_state(spark, corpus, tmp_path_factory):
             corpus["ontology"], corpus["embeddings"],
             state_dir=state, batch_id="b1",
         )
+
+
+def test_content_dedup_skips_crawl_mirrors(spark, corpus, dicts, tmp_path_factory):
+    """dedup_content=True: a later batch whose pages carry already-seen
+    TEXT at new urls adds zero triples, its urls still commit as seen,
+    and the hashes state table accumulates."""
+    from predicate_finder_spark.plans.incremental import seen_content_hashes
+
+    idf_df, d = dicts
+    state = str(tmp_path_factory.mktemp("inc_mirror"))
+    pages = corpus["pages"]
+
+    def run(p, bid):
+        return extract_triples_incremental(
+            spark, p, corpus["aliases"], corpus["kg_triples"],
+            corpus["ontology"], corpus["embeddings"],
+            state_dir=state, batch_id=bid, idf=idf_df, scorer_dicts=d,
+            dedup_content=True,
+        )
+
+    cum1 = run(pages, "b1")
+    n1 = cum1.count()
+    assert n1 > 0
+    h1 = seen_content_hashes(spark, state)
+    assert h1 is not None and h1.count() > 0
+
+    # batch 2: same texts re-hosted at mirror urls -> all content-duped
+    mirrors = pages.withColumn("url", F.concat(F.lit("http://mirror.example/"), F.col("url")))
+    cum2 = run(mirrors, "b2")
+    assert cum2.count() == n1
+    # mirror urls are recorded as processed (never re-enter a delta)
+    _, seen = incremental_state(spark, state)
+    assert seen.filter(F.col("url").startswith("http://mirror.example/")).count() > 0
+    # a third run of the same mirrors is a committed-batch no-op
+    assert run(mirrors, "b2").count() == n1
+
+
+def test_content_dedup_within_batch(spark, corpus, dicts, tmp_path_factory):
+    """Two urls with identical text inside ONE batch: only the lowest url
+    extracts (exact-dedup semantics), both urls commit as seen."""
+    idf_df, d = dicts
+    state = str(tmp_path_factory.mktemp("inc_withinbatch"))
+    one = corpus["pages"].orderBy("url").limit(1)
+    dup = one.withColumn("url", F.concat(F.lit("zzz-"), F.col("url")))
+    batch = one.unionByName(dup)
+    cum = extract_triples_incremental(
+        spark, batch, corpus["aliases"], corpus["kg_triples"],
+        corpus["ontology"], corpus["embeddings"],
+        state_dir=state, batch_id="b1", idf=idf_df, scorer_dicts=d,
+        dedup_content=True,
+    )
+    # no triple from the zzz- mirror; all from the original url
+    assert cum.filter(F.col("url").startswith("zzz-")).count() == 0
+    _, seen = incremental_state(spark, state)
+    assert seen.count() == 2
