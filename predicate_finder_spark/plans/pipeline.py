@@ -269,9 +269,17 @@ def extract_triples(
     return stage("triples", _triples, ["candidates"])
 
 
-def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+def materialize_graph(
+    triples: DataFrame, with_salience: bool = False, salience_iters: int = 5
+) -> tuple[DataFrame, DataFrame]:
     """Graph output: vertices(id, label, type) + edges(src, dst, pred,
-    weight) — weight = supporting-page count, one groupBy shuffle each."""
+    weight) — weight = supporting-page count, one groupBy shuffle each.
+
+    ``with_salience=True`` annotates vertices with PageRank over the edge
+    list (operators/graph.pagerank — integer micro-unit determinism), as
+    ``salience`` (double) + ``salience_units`` (long): the entity-
+    importance signal graph consumers sort and prune by.  One extra
+    equi-join on the vertex id; the rank state is vertex-sized."""
     vertices = (
         triples.select(F.col("subj").alias("id"))
         .unionByName(triples.select(F.col("obj").alias("id")))
@@ -288,4 +296,16 @@ def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
+    if with_salience:
+        from predicate_finder_spark.operators.graph import pagerank
+
+        pr = pagerank(edges, n_iter=salience_iters)
+        vertices = vertices.join(
+            pr.select(
+                F.col("node").alias("id"),
+                F.col("rank").alias("salience"),
+                F.col("rank_units").alias("salience_units"),
+            ),
+            "id",
+        )
     return vertices, edges

@@ -62,6 +62,18 @@ def test_graph_materialize(spark, corpus):
     assert set(e.columns) == {"src", "dst", "pred", "weight"}
 
 
+def test_graph_materialize_with_salience(spark, corpus):
+    triples = _run(spark, corpus)
+    v_plain, _ = materialize_graph(triples)
+    v, _ = materialize_graph(triples, with_salience=True)
+    assert set(v.columns) == {"id", "label", "type", "salience", "salience_units"}
+    rows = v.collect()
+    assert len(rows) == v_plain.count()  # every vertex annotated, none lost
+    total = sum(r["salience"] for r in rows)
+    assert 0.5 < total <= 1.001, total  # unit mass up to documented floors
+    assert all(r["salience_units"] > 0 for r in rows)
+
+
 def test_checkpoint_resume_idempotent(spark, corpus, tmp_path):
     cp = str(tmp_path / "cp")
     cfg = PipelineConfig(checkpoint_dir=cp)
