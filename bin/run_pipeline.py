@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--salt-buckets", type=int, default=8)
     p.add_argument("--lsh", action="store_true", help="LSH-blocked fuzzy linking")
+    p.add_argument("--salience", action="store_true",
+                   help="annotate vertices with PageRank entity salience")
     args = p.parse_args(argv)
 
     from predicate_finder_spark.config import PipelineConfig
@@ -85,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
     ch = cfg.config_hash()
     m_t = write_stage(triples, f"{args.out}/triples", "triples_out", ch)
     vertices, edges = materialize_graph(
-        spark.read.parquet(f"{args.out}/triples")
+        spark.read.parquet(f"{args.out}/triples"), with_salience=args.salience
     )
     m_v = write_stage(vertices, f"{args.out}/vertices", "vertices", ch)
     m_e = write_stage(edges, f"{args.out}/edges", "edges", ch)
