@@ -1037,6 +1037,24 @@ def q74_kg_negatives(spark, sf):
     return corrupt_triples(base, ents, n_neg=2)
 
 
+def q75_two_hop(spark, sf):
+    """2-hop path counting over the KG edge list — the graph self-join
+    scale shape: ONE equi-join on the mid entity (AQE splits hub-key
+    skew), then a partial-agg groupBy; never an adjacency materialization."""
+    from predicate_finder_spark.plans.pipeline import materialize_graph
+
+    _, edges = materialize_graph(_q55_cands(spark, sf))
+    e = edges.select("src", "dst").distinct()
+    a = e.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
+    b = e.select(F.col("src").alias("mid"), F.col("dst").alias("c"))
+    return (
+        a.join(b, "mid")
+        .filter(F.col("a") != F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1136,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_pagerank": q72_pagerank,
         "q73_triple_diff": q73_triple_diff,
         "q74_kg_negatives": q74_kg_negatives,
+        "q75_two_hop": q75_two_hop,
     }
 
 
@@ -2153,6 +2172,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT 1 FROM base b
           WHERE b.subj = c.subj AND b.pred = c.pred AND b.obj = c.obj
         )
+    """
+    sqls["q75_two_hop"] = f"""
+        WITH cand AS MATERIALIZED ({_q55_sql}),
+        e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM cand)
+        SELECT a.src AS a, b.dst AS c, count(*)::BIGINT AS n_paths
+        FROM e a JOIN e b ON a.dst = b.src
+        WHERE a.src <> b.dst
+        GROUP BY a.src, b.dst
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the
