@@ -1055,6 +1055,18 @@ def q75_two_hop(spark, sf):
     )
 
 
+def q76_pmi(spark, sf):
+    """Entity co-occurrence PMI over the KG candidate pairs
+    (operators/cooccur.pmi_pairs): three partial-agg groupBys + two
+    marginal joins + codegen'd log2 — the distant-supervision prior,
+    value-exact in SQL."""
+    from predicate_finder_spark.operators.cooccur import pmi_pairs
+
+    cands = _q55_cands(spark, sf).select("subj", "obj")
+    out = pmi_pairs(cands)
+    return out.select("subj", "obj", "n_pair", F.round("pmi", 6).alias("pmi"))
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1155,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_triple_diff": q73_triple_diff,
         "q74_kg_negatives": q74_kg_negatives,
         "q75_two_hop": q75_two_hop,
+        "q76_pmi": q76_pmi,
     }
 
 
@@ -2180,6 +2193,18 @@ def oracle_sql() -> dict[str, str]:
         FROM e a JOIN e b ON a.dst = b.src
         WHERE a.src <> b.dst
         GROUP BY a.src, b.dst
+    """
+    sqls["q76_pmi"] = f"""
+        WITH cand AS MATERIALIZED ({_q55_sql}),
+        obs AS MATERIALIZED (SELECT subj AS a, obj AS b FROM cand),
+        pc AS (SELECT a, b, count(*) AS n_pair FROM obs GROUP BY a, b),
+        lc AS (SELECT a, count(*) AS n_a FROM obs GROUP BY a),
+        rc AS (SELECT b, count(*) AS n_b FROM obs GROUP BY b),
+        n AS (SELECT count(*) AS t FROM obs)
+        SELECT pc.a AS subj, pc.b AS obj, pc.n_pair,
+               round(log2((SELECT t FROM n)::DOUBLE * pc.n_pair::DOUBLE
+                          / (lc.n_a::DOUBLE * rc.n_b::DOUBLE)), 6) AS pmi
+        FROM pc JOIN lc USING (a) JOIN rc USING (b)
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

@@ -80,3 +80,32 @@ def test_corrupt_triples_empty_dictionary_raises(spark):
     ents = spark.createDataFrame([], "entity string")
     with pytest.raises(ValueError, match="empty entity dictionary"):
         corrupt_triples(base, ents)
+
+
+# --- PMI co-occurrence ----------------------------------------------------
+
+def test_pmi_hand_computed(spark):
+    """4 observations: (a,x) twice, (a,y) once, (b,y) once.
+    N=4; c(a)=3, c(b)=1; c(x)=2, c(y)=2.
+    pmi(a,x) = log2(4*2/(3*2)) = log2(4/3); pmi(b,y) = log2(4*1/(1*2)) = 1."""
+    import math
+
+    from predicate_finder_spark.operators.cooccur import pmi_pairs
+
+    obs = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")], "subj string, obj string"
+    )
+    got = {(r.subj, r.obj): (r.n_pair, r.pmi) for r in pmi_pairs(obs).collect()}
+    assert got[("a", "x")][0] == 2
+    assert abs(got[("a", "x")][1] - math.log2(4 / 3)) < 1e-12
+    assert abs(got[("a", "y")][1] - math.log2(4 / 6)) < 1e-12
+    assert abs(got[("b", "y")][1] - 1.0) < 1e-12
+
+
+def test_pmi_min_count_filters(spark):
+    from predicate_finder_spark.operators.cooccur import pmi_pairs
+
+    obs = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y")], "subj string, obj string"
+    )
+    assert pmi_pairs(obs, min_count=2).count() == 1
