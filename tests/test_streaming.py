@@ -39,3 +39,24 @@ def test_windowed_counts(spark, pages_path):
     assert {c for c in spark.table("stream_counts").columns} == {
         "window_start", "lang", "n_pages",
     }
+
+
+def test_streaming_quality_gate_matches_batch(spark, corpus, pages_path):
+    """The fitted quality classifier is a pure column expression, so it
+    gates a STREAM with zero changes — same plan, no Python worker, no
+    state.  Streamed survivors == batch survivors exactly."""
+    from pyspark.sql import functions as F
+
+    from predicate_finder_spark.operators.quality import (
+        PINNED_QUALITY_WEIGHTS,
+        quality_probability,
+    )
+    from predicate_finder_spark.streaming.ingest import read_page_stream
+
+    p = quality_probability(F.col("text"), weights=PINNED_QUALITY_WEIGHTS)
+    gated = read_page_stream(spark, pages_path).filter(p >= 0.5).select("url")
+    run_to_memory_sink(gated, "stream_quality")
+    got = spark.sql("SELECT url FROM stream_quality")
+    want = corpus["pages"].filter(p >= 0.5).select("url")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
