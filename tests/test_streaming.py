@@ -49,14 +49,22 @@ def test_streaming_quality_gate_matches_batch(spark, corpus, pages_path):
 
     from predicate_finder_spark.operators.quality import (
         PINNED_QUALITY_WEIGHTS,
-        quality_probability,
+        quality_logit,
     )
     from predicate_finder_spark.streaming.ingest import read_page_stream
 
-    p = quality_probability(F.col("text"), weights=PINNED_QUALITY_WEIGHTS)
-    gated = read_page_stream(spark, pages_path).filter(p >= 0.5).select("url")
+    z = quality_logit(F.col("text"), weights=PINNED_QUALITY_WEIGHTS)
+    # gate at the batch median so the filter demonstrably KEEPS and DROPS
+    # (page prose scores below the paragraph-trained 0.5 operating point;
+    # a production gate would refit or recalibrate the threshold)
+    thr = (
+        corpus["pages"].select(z.alias("z")).agg(F.expr("percentile(z, 0.5)")).first()[0]
+    )
+    gated = read_page_stream(spark, pages_path).filter(z >= thr).select("url")
     run_to_memory_sink(gated, "stream_quality")
     got = spark.sql("SELECT url FROM stream_quality")
-    want = corpus["pages"].filter(p >= 0.5).select("url")
-    assert got.count() == want.count() > 0
+    want = corpus["pages"].filter(z >= thr).select("url")
+    n_all = corpus["pages"].count()
+    assert 0 < want.count() < n_all  # the gate genuinely splits
+    assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
