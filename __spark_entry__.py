@@ -1067,6 +1067,36 @@ def q76_pmi(spark, sf):
     return out.select("subj", "obj", "n_pair", F.round("pmi", 6).alias("pmi"))
 
 
+def q77_predicate_stats(spark, sf):
+    """Per-predicate schema-induction stats (operators/cooccur.
+    predicate_stats): ONE partial-agg groupBy computing counts, distincts,
+    and functionality ratios — the ontology-QA signal that flags
+    extraction blow-ups.  Runs over a 3-predicate fact set derived from
+    the documents table (hasLang is functional by construction, hosts is
+    its inverse-shaped sibling, usesLang is many-to-many)."""
+    from predicate_finder_spark.operators.cooccur import predicate_stats
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc"), "source", "lang"
+    )
+    facts = (
+        d.select(F.col("doc").alias("subj"), F.lit("hasLang").alias("pred"),
+                 F.col("lang").alias("obj"))
+        .unionByName(
+            d.select(F.col("source").alias("subj"), F.lit("hosts").alias("pred"),
+                     F.col("doc").alias("obj")))
+        .unionByName(
+            d.select(F.col("source").alias("subj"), F.lit("usesLang").alias("pred"),
+                     F.col("lang").alias("obj")))
+    )
+    out = predicate_stats(facts)
+    return out.select(
+        "pred", "n_triples", "n_subj", "n_obj",
+        F.round("functionality", 6).alias("functionality"),
+        F.round("inverse_functionality", 6).alias("inverse_functionality"),
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1168,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_kg_negatives": q74_kg_negatives,
         "q75_two_hop": q75_two_hop,
         "q76_pmi": q76_pmi,
+        "q77_predicate_stats": q77_predicate_stats,
     }
 
 
@@ -2205,6 +2236,23 @@ def oracle_sql() -> dict[str, str]:
                round(log2((SELECT t FROM n)::DOUBLE * pc.n_pair::DOUBLE
                           / (lc.n_a::DOUBLE * rc.n_b::DOUBLE)), 6) AS pmi
         FROM pc JOIN lc USING (a) JOIN rc USING (b)
+    """
+    sqls["q77_predicate_stats"] = """
+        WITH facts AS (
+          SELECT doc_id::VARCHAR AS subj, 'hasLang' AS pred, lang AS obj FROM documents
+          UNION ALL
+          SELECT source, 'hosts', doc_id::VARCHAR FROM documents
+          UNION ALL
+          SELECT source, 'usesLang', lang FROM documents
+        )
+        SELECT pred,
+               count(*) AS n_triples,
+               count(DISTINCT subj) AS n_subj,
+               count(DISTINCT obj) AS n_obj,
+               round(count(DISTINCT subj)::DOUBLE / count(*), 6) AS functionality,
+               round(count(DISTINCT obj)::DOUBLE / count(*), 6) AS inverse_functionality
+        FROM facts
+        GROUP BY pred
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

@@ -55,3 +55,26 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def predicate_stats(triples: DataFrame) -> DataFrame:
+    """Per-predicate schema-induction statistics: ``(pred, n_triples,
+    n_subj, n_obj, functionality, inverse_functionality)``.
+
+    functionality = n_subj / n_triples (1.0 = every subject asserts the
+    predicate once — a functional property like birthPlace); the inverse
+    reads the same off the object side.  The signal ontology-QA uses to
+    flag extraction blow-ups (a "functional" predicate suddenly averaging
+    5 objects per subject is a bug upstream).
+
+    ONE partial-agg groupBy over the triple set; distincts are computed
+    inside the same aggregate (no second scan, no join)."""
+    return triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+        (F.countDistinct("subj").cast("double") / F.count(F.lit(1)))
+        .alias("functionality"),
+        (F.countDistinct("obj").cast("double") / F.count(F.lit(1)))
+        .alias("inverse_functionality"),
+    )

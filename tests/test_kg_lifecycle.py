@@ -109,3 +109,25 @@ def test_pmi_min_count_filters(spark):
         [("a", "x"), ("a", "x"), ("b", "y")], "subj string, obj string"
     )
     assert pmi_pairs(obs, min_count=2).count() == 1
+
+
+def test_predicate_stats_hand_computed(spark):
+    from predicate_finder_spark.operators.cooccur import predicate_stats
+
+    t = _df(
+        spark,
+        [
+            ("s1", "birthPlace", "o1"),
+            ("s2", "birthPlace", "o1"),
+            ("s3", "birthPlace", "o2"),     # functional: 3 subj / 3 triples
+            ("s1", "knows", "o1"),
+            ("s1", "knows", "o2"),
+            ("s2", "knows", "o2"),          # 2 subj / 3 triples
+        ],
+    )
+    got = {r.pred: r for r in predicate_stats(t).collect()}
+    bp, kn = got["birthPlace"], got["knows"]
+    assert (bp.n_triples, bp.n_subj, bp.n_obj) == (3, 3, 2)
+    assert bp.functionality == 1.0 and abs(bp.inverse_functionality - 2 / 3) < 1e-12
+    assert (kn.n_triples, kn.n_subj, kn.n_obj) == (3, 2, 2)
+    assert abs(kn.functionality - 2 / 3) < 1e-12
