@@ -1097,6 +1097,33 @@ def q77_predicate_stats(spark, sf):
     )
 
 
+def q78_alias_mining(spark, sf):
+    """Anchor-statistics dictionary mining (operators/linking.
+    build_alias_dictionary — the Spotlight dictionary-construction loop):
+    prior(alias, entity) = c(alias, entity)/c(alias) over deterministic
+    synthetic anchors (sense = md5 bucket of (doc_id, token), so surfaces
+    are ambiguous by construction); min_count/min_prior hygiene applied."""
+    from predicate_finder_spark.functions.hashing import md5_bucket
+    from predicate_finder_spark.operators.linking import build_alias_dictionary
+
+    toks = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("surface"))
+    )
+    pairs = toks.select(
+        "surface",
+        F.concat(
+            F.col("surface"), F.lit("#"),
+            md5_bucket(F.concat_ws("|", "doc_id", "surface"), 3).cast("string"),
+        ).alias("entity"),
+    )
+    out = build_alias_dictionary(pairs, min_count=2, min_prior=0.2)
+    return out.select(
+        "alias", "entity", F.round("prior", 6).alias("prior"), "n_pair"
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1199,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_two_hop": q75_two_hop,
         "q76_pmi": q76_pmi,
         "q77_predicate_stats": q77_predicate_stats,
+        "q78_alias_mining": q78_alias_mining,
     }
 
 
@@ -2253,6 +2281,27 @@ def oracle_sql() -> dict[str, str]:
                round(count(DISTINCT obj)::DOUBLE / count(*), 6) AS inverse_functionality
         FROM facts
         GROUP BY pred
+    """
+    # q78: the md5 sense-bucket fold replayed with the shared _hex8 idiom
+    _q78_hash = _hex8.format(s="t.doc_id::VARCHAR || '|' || t.surface")
+    sqls["q78_alias_mining"] = f"""
+        WITH t AS (
+          SELECT doc_id, unnest({_TOK}) AS surface
+          FROM documents WHERE doc_id < 200
+        ),
+        pairs AS MATERIALIZED (
+          SELECT t.surface,
+                 t.surface || '#' || ({_q78_hash} % 3)::VARCHAR AS entity
+          FROM t
+        ),
+        pc AS (SELECT surface AS alias, entity, count(*) AS n_pair
+               FROM pairs GROUP BY 1, 2),
+        sc AS (SELECT surface AS alias, count(*) AS n_surface
+               FROM pairs GROUP BY 1)
+        SELECT alias, entity,
+               round(n_pair::DOUBLE / n_surface, 6) AS prior, n_pair
+        FROM pc JOIN sc USING (alias)
+        WHERE n_pair >= 2 AND n_pair::DOUBLE / n_surface >= 0.2
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

@@ -187,3 +187,44 @@ def lsh_blocked_candidates(
         .drop("alias", "sim")
     )
     return cand
+
+
+def build_alias_dictionary(
+    anchor_pairs: DataFrame,
+    surface_col: str = "surface",
+    entity_col: str = "entity",
+    min_count: int = 1,
+    min_prior: float = 0.0,
+) -> DataFrame:
+    """Mine the (alias, entity, prior) dictionary from anchor-text
+    observations — the way Spotlight-class linkers actually build theirs
+    (Wikipedia anchor statistics: Mendes et al., I-Semantics 2011,
+    public): prior(alias, entity) = c(alias, entity) / c(alias).
+
+    Input: one row per observed (surface, entity) anchor — page links,
+    resolved high-confidence mentions, redirect titles.  Output matches
+    the engine's ``aliases(alias, entity, prior)`` contract, so the mined
+    dictionary plugs straight into :func:`link_mentions` — the
+    self-supervised dictionary-growth loop.
+
+    Scale shape: TWO partial-agg groupBys (pair counts, surface
+    marginals) + one equi-join on the surface — the marginal side is
+    alias-dictionary-sized.  ``min_count`` prunes hapax noise before the
+    join; ``min_prior`` drops long-tail senses (standard dictionary
+    hygiene, keeps the broadcast dictionary small)."""
+    obs = anchor_pairs.select(
+        F.col(surface_col).alias("alias"), F.col(entity_col).alias("entity")
+    )
+    pair_c = obs.groupBy("alias", "entity").agg(F.count(F.lit(1)).alias("n_pair"))
+    surf_c = obs.groupBy("alias").agg(F.count(F.lit(1)).alias("n_surface"))
+    return (
+        pair_c.filter(F.col("n_pair") >= min_count)
+        .join(surf_c, "alias")
+        .select(
+            "alias",
+            "entity",
+            (F.col("n_pair").cast("double") / F.col("n_surface")).alias("prior"),
+            "n_pair",
+        )
+        .filter(F.col("prior") >= min_prior)
+    )

@@ -138,3 +138,34 @@ def test_entity_hash_injectivity_guard(spark, corpus):
         .count()
     )
     assert n == expect > 0
+
+
+def test_build_alias_dictionary_priors_and_loop(spark):
+    """Mined priors = anchor statistics; the mined dictionary feeds
+    link_mentions directly (the dictionary-growth loop)."""
+    from predicate_finder_spark.operators.linking import build_alias_dictionary
+
+    # 'paris' -> Paris 3x, Paris_Texas 1x; 'texas' -> Texas 2x
+    obs = spark.createDataFrame(
+        [("paris", "Paris")] * 3 + [("paris", "Paris_Texas")] + [("texas", "Texas")] * 2,
+        "surface string, entity string",
+    )
+    d = build_alias_dictionary(obs)
+    got = {(r.alias, r.entity): (r.n_pair, r.prior) for r in d.collect()}
+    assert got[("paris", "Paris")] == (3, 0.75)
+    assert got[("paris", "Paris_Texas")] == (1, 0.25)
+    assert got[("texas", "Texas")] == (2, 1.0)
+
+    # hygiene knobs
+    assert build_alias_dictionary(obs, min_count=2).count() == 2
+    assert build_alias_dictionary(obs, min_prior=0.5).count() == 2
+
+    # the mined table plugs into link_mentions and disambiguation picks
+    # the majority sense
+    mentions = spark.createDataFrame(
+        [("u1", 0, 0, 1, 1, "paris")],
+        "url string, sent_id int, start int, end int, length int, surface string",
+    )
+    linked = link_mentions(mentions, d.drop("n_pair"))
+    top = resolve_mentions(linked).collect()
+    assert len(top) == 1 and top[0]["entity"] == "Paris"
