@@ -1124,6 +1124,32 @@ def q78_alias_mining(spark, sf):
     )
 
 
+def q79_redirects(spark, sf):
+    """Redirect-chain resolution by pointer doubling (operators/graph.
+    resolve_chains — entity canonicalization): synthetic redirect chains
+    of md5-determined length 1..3 per source; every source must resolve
+    to its terminal.  The oracle unrolls the same doubling rounds, so the
+    whole O(log chain) join cascade is value-exact."""
+    from predicate_finder_spark.functions.hashing import md5_bucket
+    from predicate_finder_spark.operators.graph import resolve_chains
+
+    s = _t(spark, sf, "documents").select(F.col("source").alias("s")).distinct()
+    ln = (md5_bucket(F.col("s"), 3) + 1).alias("ln")
+    lv = s.select("s", ln)
+
+    def node(i):
+        return F.col("s") if i == 0 else F.concat(F.col("s"), F.lit(f">{i}"))
+
+    parts = [
+        lv.filter(F.col("ln") >= i).select(
+            node(i - 1).alias("src"), node(i).alias("dst")
+        )
+        for i in (1, 2, 3)
+    ]
+    mapping = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return resolve_chains(mapping)
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1227,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_pmi": q76_pmi,
         "q77_predicate_stats": q77_predicate_stats,
         "q78_alias_mining": q78_alias_mining,
+        "q79_redirects": q79_redirects,
     }
 
 
@@ -2303,6 +2330,28 @@ def oracle_sql() -> dict[str, str]:
         FROM pc JOIN sc USING (alias)
         WHERE n_pair >= 2 AND n_pair::DOUBLE / n_surface >= 0.2
     """
+    # q79: the pointer-doubling rounds unrolled (m_k = m_{k-1} composed
+    # with itself), then the cycle-guard anti filter — all string ops
+    _q79_len = "(" + _hex8.format(s="s") + " % 3) + 1"
+    _q79 = f"""
+        WITH srcs AS (SELECT DISTINCT source AS s FROM documents),
+        lv AS MATERIALIZED (SELECT s, {_q79_len} AS ln FROM srcs),
+        m0 AS MATERIALIZED (
+          SELECT s AS src, s || '>1' AS dst FROM lv WHERE ln >= 1
+          UNION ALL SELECT s || '>1', s || '>2' FROM lv WHERE ln >= 2
+          UNION ALL SELECT s || '>2', s || '>3' FROM lv WHERE ln >= 3
+        )"""
+    for _i in range(1, 7):
+        _q79 += f""",
+        m{_i} AS MATERIALIZED (
+          SELECT a.src, coalesce(b.dst, a.dst) AS dst
+          FROM m{_i - 1} a LEFT JOIN m{_i - 1} b ON a.dst = b.src
+        )"""
+    _q79 += """
+        SELECT m6.src, m6.dst AS target FROM m6
+        WHERE NOT EXISTS (SELECT 1 FROM m6 h WHERE h.src = m6.dst)
+    """
+    sqls["q79_redirects"] = _q79
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the
     # P/R gate; q56/q57 = approximate aggregates whose values are
