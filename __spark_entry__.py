@@ -1150,6 +1150,20 @@ def q79_redirects(spark, sf):
     return resolve_chains(mapping)
 
 
+def q80_heavy_hitters(spark, sf):
+    """Exact heavy hitters over the exploded token column (operators/
+    sketch.heavy_hitters): per-partition Misra-Gries candidates (Arrow-
+    batched, NO shuffle of the token column) + exact verify of the
+    candidate set — output provably equals the plain GROUP BY answer,
+    which is exactly what the oracle runs."""
+    from predicate_finder_spark.operators.sketch import heavy_hitters
+
+    toks = _t(spark, sf, "documents").select(
+        F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", num=1, den=50)
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1254,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_predicate_stats": q77_predicate_stats,
         "q78_alias_mining": q78_alias_mining,
         "q79_redirects": q79_redirects,
+        "q80_heavy_hitters": q80_heavy_hitters,
     }
 
 
@@ -2352,6 +2367,15 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM m6 h WHERE h.src = m6.dst)
     """
     sqls["q79_redirects"] = _q79
+    sqls["q80_heavy_hitters"] = f"""
+        WITH t AS MATERIALIZED (
+          SELECT unnest({_TOK}) AS tok FROM documents
+        ),
+        n AS (SELECT count(*) AS total FROM t)
+        SELECT tok AS value, count(*) AS cnt
+        FROM t GROUP BY tok
+        HAVING count(*) * 50 >= (SELECT total FROM n) * 1
+    """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the
     # P/R gate; q56/q57 = approximate aggregates whose values are
