@@ -36,6 +36,7 @@ runs.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -54,12 +55,16 @@ def _batches_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "batches")
 
 
-def committed_batches(state_dir: str) -> list[str]:
-    """Batch ids with a committed marker, in commit order (ties: name)."""
+def committed_batches(state_dir: str, include_replaced: bool = False) -> list[str]:
+    """Batch ids with a committed marker, in commit order (ties: name).
+
+    Batches listed in any committed marker's ``replaces`` field (written
+    by :func:`compact_batches`) are hidden unless ``include_replaced`` —
+    the compacted batch IS their content, Iceberg-snapshot style."""
     bd = _batches_dir(state_dir)
     if not os.path.isdir(bd):
         return []
-    out = []
+    out, replaced = [], set()
     for name in os.listdir(bd):
         marker = os.path.join(bd, name, _BATCH_MARKER)
         try:
@@ -68,15 +73,33 @@ def committed_batches(state_dir: str) -> list[str]:
         except (FileNotFoundError, json.JSONDecodeError):
             continue  # torn or absent marker: batch never happened
         out.append((meta.get("committed_at", 0.0), name))
-    return [name for _, name in sorted(out)]
+        replaced.update(meta.get("replaces", []))
+    names = [name for _, name in sorted(out)]
+    if include_replaced:
+        return names
+    return [n for n in names if n not in replaced]
 
 
 def incremental_state(
-    spark: SparkSession, state_dir: str
+    spark: SparkSession, state_dir: str, as_of: str | None = None
 ) -> tuple[DataFrame | None, DataFrame | None]:
     """(cumulative triples, processed urls) across committed batches, or
-    (None, None) when no batch has ever committed."""
+    (None, None) when no batch has ever committed.
+
+    ``as_of``: time-travel read — only batches up to and including the
+    named batch (in commit order) contribute, the Iceberg snapshot-as-of
+    semantics.  A batch folded away by :func:`compact_batches` is no
+    longer addressable (compaction trades time-travel granularity for
+    file count, exactly Iceberg's snapshot expiry) — asking for one
+    raises rather than silently returning the wrong state."""
     names = committed_batches(state_dir)
+    if as_of is not None:
+        if as_of not in names:
+            raise ValueError(
+                f"as_of batch {as_of!r} is not a visible committed batch "
+                f"(committed: {names}) — it may have been compacted away"
+            )
+        names = names[: names.index(as_of) + 1]
     if not names:
         return None, None
     bd = _batches_dir(state_dir)
@@ -218,3 +241,60 @@ def _empty_like(spark: SparkSession) -> DataFrame:
         "subj string, pred string, obj string, score double, url string, "
         "provenance struct<stage:string, rule:string>",
     )
+
+
+def compact_batches(
+    spark: SparkSession, state_dir: str, remove_old: bool = False
+) -> str | None:
+    """Fold every visible committed batch into ONE compacted batch —
+    the Iceberg snapshot-compaction analog for the append-only state.
+
+    A long-running ingest accumulates thousands of small batch dirs; the
+    cumulative read unions all of them every run.  Compaction rewrites
+    the union (triples, urls, and content hashes where present) as a
+    single batch whose marker lists the source batches in ``replaces``;
+    readers hide replaced batches, so visibility flips ATOMICALLY with
+    the marker rename.  Crash before the marker: the partial compact dir
+    is invisible and the sources remain live — rerun-safe, no cleanup
+    needed.  ``remove_old=True`` deletes the replaced dirs afterwards
+    (best-effort; leaving them costs only disk — readers already ignore
+    them).
+
+    Returns the new batch id, or None when fewer than two batches exist.
+    """
+    names = committed_batches(state_dir)
+    if len(names) < 2:
+        return None
+    bd = _batches_dir(state_dir)
+    triples, urls = incremental_state(spark, state_dir)
+    new_id = "compact-" + hashlib.md5("|".join(names).encode()).hexdigest()[:12]
+    batch_dir = os.path.join(bd, new_id)
+    write_stage(triples, os.path.join(batch_dir, "triples"), "inc_triples", "compact")
+    write_stage(urls, os.path.join(batch_dir, "urls"), "inc_urls", "compact")
+    hash_frames = [
+        spark.read.parquet(os.path.join(bd, n, "hashes"))
+        for n in names
+        if os.path.isdir(os.path.join(bd, n, "hashes"))
+    ]
+    if hash_frames:
+        h = hash_frames[0]
+        for x in hash_frames[1:]:
+            h = h.unionByName(x)
+        write_stage(h.distinct(), os.path.join(batch_dir, "hashes"),
+                    "inc_hashes", "compact")
+    marker = {
+        "batch_id": new_id,
+        "committed_at": time.time(),
+        "replaces": names,
+        "triples_rows": (read_manifest(os.path.join(batch_dir, "triples")) or {}).get("rows"),
+    }
+    tmp = os.path.join(batch_dir, _BATCH_MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(marker, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(batch_dir, _BATCH_MARKER))
+    if remove_old:
+        import shutil
+
+        for n in names:
+            shutil.rmtree(os.path.join(bd, n), ignore_errors=True)
+    return new_id

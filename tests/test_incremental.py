@@ -166,3 +166,52 @@ def test_content_dedup_within_batch(spark, corpus, dicts, tmp_path_factory):
     assert cum.filter(F.col("url").startswith("zzz-")).count() == 0
     _, seen = incremental_state(spark, state)
     assert seen.count() == 2
+
+
+def test_time_travel_and_compaction(spark, corpus, dicts, tmp_path_factory):
+    """as_of reads reproduce historical state; compaction folds batches
+    atomically with identical cumulative content; replaced batches are
+    hidden and no longer addressable."""
+    from predicate_finder_spark.plans.incremental import compact_batches
+
+    idf_df, d = dicts
+    state = str(tmp_path_factory.mktemp("inc_compact"))
+    pages = corpus["pages"]
+    first = pages.filter(F.crc32(F.col("url")) % 5 < 3)
+
+    def run(p, bid):
+        return extract_triples_incremental(
+            spark, p, corpus["aliases"], corpus["kg_triples"],
+            corpus["ontology"], corpus["embeddings"],
+            state_dir=state, batch_id=bid, idf=idf_df, scorer_dicts=d,
+        )
+
+    run(first, "b1")
+    cum = run(pages, "b2")
+    full = _sorted_triples(cum)
+
+    # time travel: as_of b1 == just b1's triples
+    t_b1, u_b1 = incremental_state(spark, state, as_of="b1")
+    b1_direct = spark.read.parquet(f"{state}/batches/b1/triples")
+    assert _sorted_triples(t_b1) == _sorted_triples(b1_direct)
+    assert u_b1.count() == first.select("url").distinct().count()
+
+    # compact: one visible batch, identical cumulative state
+    new_id = compact_batches(spark, state)
+    assert new_id is not None
+    assert committed_batches(state) == [new_id]
+    assert committed_batches(state, include_replaced=True) == ["b1", "b2", new_id]
+    t2, u2 = incremental_state(spark, state)
+    assert _sorted_triples(t2) == full
+    assert u2.count() == pages.select("url").distinct().count()
+
+    # compacted-away batch is not addressable
+    with pytest.raises(ValueError, match="compacted away"):
+        incremental_state(spark, state, as_of="b1")
+
+    # a further run on already-seen pages is an empty delta: no new batch
+    cum3 = run(pages, "b3")
+    assert _sorted_triples(cum3) == full
+    # compacting a single visible batch is a no-op
+    assert compact_batches(spark, state) is None
+    assert committed_batches(state) == [new_id]
