@@ -1164,6 +1164,24 @@ def q80_heavy_hitters(spark, sf):
     return heavy_hitters(toks, "tok", num=1, den=50)
 
 
+def q81_fold_diacritics(spark, sf):
+    """Diacritic folding (functions/text.fold_diacritics — the alias-
+    normalization step exact-surface linking needs): synthesize accented
+    surfaces from customer names (translate vowels to accented forms),
+    fold back, and emit the folded surface + round-trip flag.  Both
+    engines run the identical explicit char map — no locale, no ICU."""
+    from predicate_finder_spark.functions.text import fold_diacritics
+
+    base = F.lower(F.col("c_name"))
+    accented = F.translate(base, "aeiou", "áéîöü")
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        accented.alias("accented"),
+        fold_diacritics(accented).alias("folded"),
+        (fold_diacritics(accented) == base).cast("int").alias("round_trip"),
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1269,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_alias_mining": q78_alias_mining,
         "q79_redirects": q79_redirects,
         "q80_heavy_hitters": q80_heavy_hitters,
+        "q81_fold_diacritics": q81_fold_diacritics,
     }
 
 
@@ -2375,6 +2394,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT tok AS value, count(*) AS cnt
         FROM t GROUP BY tok
         HAVING count(*) * 50 >= (SELECT total FROM n) * 1
+    """
+    from predicate_finder_spark.functions.text import _FOLD_DST, _FOLD_SRC
+
+    sqls["q81_fold_diacritics"] = f"""
+        WITH a AS (
+          SELECT c_custkey,
+                 translate(lower(c_name), 'aeiou', 'áéîöü') AS accented,
+                 lower(c_name) AS base
+          FROM customer
+        )
+        SELECT c_custkey, accented,
+               replace(replace(replace(
+                 translate(accented, '{_FOLD_SRC}', '{_FOLD_DST}'),
+                 'ß', 'ss'), 'æ', 'ae'), 'œ', 'oe') AS folded,
+               CAST(replace(replace(replace(
+                 translate(accented, '{_FOLD_SRC}', '{_FOLD_DST}'),
+                 'ß', 'ss'), 'æ', 'ae'), 'œ', 'oe') = base AS INT) AS round_trip
+        FROM a
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

@@ -121,3 +121,27 @@ def token_overlap_ratio(a: Column, b: Column) -> Column:
     return F.when(F.size(ai) > 0, F.size(F.array_intersect(ai, bi)) / F.size(ai)).otherwise(
         F.lit(0.0)
     )
+
+
+# Latin diacritic fold map: source chars and their ASCII bases, one-to-one
+# (translate() is a parallel per-char map — ordering within the strings is
+# the pairing).  Covers the Latin-1 + common Latin-2 letters DBpedia alias
+# surfaces actually carry; ß/æ/œ expand to two chars so they go through
+# replace, not translate.
+_FOLD_SRC = "áàâäãåāăéèêëēěíìîïīóòôöõøōőúùûüūůűýÿñńçćčšśžźżłđďřť"
+_FOLD_DST = "aaaaaaaaeeeeeeiiiiioooooooouuuuuuuyynncccsszzzlddrt"
+
+
+def fold_diacritics(col: Column | str) -> Column:
+    """ASCII-fold Latin diacritics (lowercase input assumed — compose with
+    ``F.lower``): á→a, ø→o, ß→ss, … as one codegen'd translate + two
+    replaces.  The alias-dictionary normalization step: DBpedia surface
+    forms carry accents, crawl text often drops them, and an exact-surface
+    join misses the pair unless both sides fold.  Engine-portable: the
+    map is explicit (no locale, no ICU), so the oracle replays it as a
+    replace chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    folded = F.translate(c, _FOLD_SRC, _FOLD_DST)
+    folded = F.regexp_replace(folded, "ß", "ss")
+    folded = F.regexp_replace(folded, "æ", "ae")
+    return F.regexp_replace(folded, "œ", "oe")

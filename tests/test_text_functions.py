@@ -67,3 +67,23 @@ def test_token_overlap_ratio(spark):
     a = F.array(F.lit("A"), F.lit("b"), F.lit("c"))
     b = F.array(F.lit("a"), F.lit("x"))
     assert abs(_one(spark, TX.token_overlap_ratio(a, b)) - 1 / 3) < 1e-9
+
+
+def test_fold_diacritics(spark):
+    from predicate_finder_spark.functions.text import fold_diacritics
+
+    df = spark.createDataFrame(
+        [("josé", "jose"), ("françois", "francois"), ("łódź", "lodz"),
+         ("straße", "strasse"), ("smørrebrød", "smorrebrod"),
+         ("cæsar", "caesar"), ("œuvre", "oeuvre"),
+         ("plain ascii stays", "plain ascii stays")],
+        "raw string, want string",
+    )
+    rows = df.select("want", fold_diacritics("raw").alias("got")).collect()
+    for r in rows:
+        assert r.got == r.want, (r.got, r.want)
+    # idempotence: folding folded text is a no-op
+    rows2 = df.select(
+        (fold_diacritics(fold_diacritics("raw")) == fold_diacritics("raw")).alias("ok")
+    ).collect()
+    assert all(r.ok for r in rows2)
