@@ -1182,6 +1182,33 @@ def q81_fold_diacritics(spark, sf):
     )
 
 
+def q82_quantize(spark, sf):
+    """int8 embedding quantization (functions/vectors.quantize_embedding
+    — the 4x ANN memory/bandwidth lever): scale, quantized-vector hash,
+    and max reconstruction error per vector, all explicit arithmetic
+    (floor(x/scale + 0.5) half-up — no rounding-mode dependence), so the
+    full quantize→dequantize→error path is value-exact in DuckDB."""
+    from predicate_finder_spark.functions.vectors import (
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    qs = quantize_embedding(F.col("embedding"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    deq = dequantize_embedding(qs)
+    return e.select(
+        "vec_id",
+        F.round(qs["scale"], 9).alias("scale"),
+        F.md5(
+            F.array_join(F.transform(qs["q"], lambda x: x.cast("string")), ",")
+        ).alias("q_hash"),
+        F.round(
+            F.array_max(F.zip_with(v, deq, lambda a, b: F.abs(a - b))), 9
+        ).alias("max_err"),
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1288,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_redirects": q79_redirects,
         "q80_heavy_hitters": q80_heavy_hitters,
         "q81_fold_diacritics": q81_fold_diacritics,
+        "q82_quantize": q82_quantize,
     }
 
 
@@ -2412,6 +2440,28 @@ def oracle_sql() -> dict[str, str]:
                  translate(accented, '{_FOLD_SRC}', '{_FOLD_DST}'),
                  'ß', 'ss'), 'æ', 'ae'), 'œ', 'oe') = base AS INT) AS round_trip
         FROM a
+    """
+    sqls["q82_quantize"] = """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 500
+        ), s AS (
+          SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM e
+        ), qz AS (
+          SELECT vec_id, v,
+                 CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale,
+                 CASE WHEN mx > 0
+                      THEN list_transform(v, x -> floor(x / (mx / 127.0) + 0.5)::INT)
+                      ELSE list_transform(v, x -> 0) END AS q
+          FROM s
+        )
+        SELECT vec_id, round(scale, 9) AS scale,
+               md5(list_aggregate(list_transform(q, x -> x::VARCHAR),
+                                  'string_agg', ',')) AS q_hash,
+               round(list_max(list_transform(range(1, len(v) + 1),
+                     i -> abs(v[i] - q[i]::DOUBLE * scale))), 9) AS max_err
+        FROM qz
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the
