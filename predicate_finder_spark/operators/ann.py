@@ -25,9 +25,31 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    quantized: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast the (small) query set against
-    the corpus, window top-k.  Output: (query_id, vec_id, cosine, rank)."""
+    the corpus, window top-k.  Output: (query_id, vec_id, cosine, rank).
+
+    ``quantized=True`` scores on int8-quantized vectors
+    (functions/vectors.quantize_embedding) — the memory/bandwidth lever
+    for the 100 TB scan: the corpus side streams 4x fewer bytes through
+    the scan and the scorer, at a bounded cosine perturbation (top-10
+    overlap >= 8/10 pinned in tests/test_vectors_partitions.py; rank is
+    approximate, use for candidate generation + exact re-rank)."""
+    if quantized:
+        from predicate_finder_spark.functions.vectors import (
+            dequantize_embedding,
+            quantize_embedding,
+        )
+
+        vectors = vectors.select(
+            F.col(id_col),
+            dequantize_embedding(quantize_embedding(F.col(vec_col))).alias(vec_col),
+        )
+        queries = queries.select(
+            F.col(query_id_col),
+            dequantize_embedding(quantize_embedding(F.col(vec_col))).alias(vec_col),
+        )
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qv")
     )

@@ -80,3 +80,24 @@ def test_refine_ivf_improves_or_holds_recall(vectors, queries):
     r1 = len(e & a1) / len(e)
     # Lloyd refinement should not collapse recall (usually improves it)
     assert r1 >= r0 - 0.1, (r0, r1)
+
+
+def test_brute_force_quantized_recall(spark):
+    """quantized=True: 4x fewer corpus bytes, top-k overlap vs exact
+    stays high (candidate-generation quality)."""
+    from predicate_finder_spark.operators.ann import brute_force_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(e, qs, k=10)
+    approx = brute_force_topk(e, qs, k=10, quantized=True)
+    ex = {r["query_id"]: set() for r in exact.collect()}
+    for r in exact.collect():
+        ex[r["query_id"]].add(r["vec_id"])
+    ap = {q: set() for q in ex}
+    for r in approx.collect():
+        ap[r["query_id"]].add(r["vec_id"])
+    for q in ex:
+        assert len(ex[q] & ap[q]) >= 8, (q, ex[q], ap[q])
