@@ -1209,6 +1209,22 @@ def q82_quantize(spark, sf):
     )
 
 
+def q83_sliding_chunks(spark, sf):
+    """Sliding-window chunking with overlap (operators/packing.
+    sliding_chunks — the RAG/long-context sample cutter, never crossing a
+    document boundary): size 32, stride 24 over the documents table;
+    chunk text hashed for the value compare."""
+    from predicate_finder_spark.operators.packing import sliding_chunks
+
+    out = sliding_chunks(
+        _t(spark, sf, "documents"), id_col="doc_id", size=32, stride=24
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_id", "start", "n_tokens",
+        F.md5("chunk").alias("chunk_hash"),
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1316,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_heavy_hitters": q80_heavy_hitters,
         "q81_fold_diacritics": q81_fold_diacritics,
         "q82_quantize": q82_quantize,
+        "q83_sliding_chunks": q83_sliding_chunks,
     }
 
 
@@ -2462,6 +2479,23 @@ def oracle_sql() -> dict[str, str]:
                round(list_max(list_transform(range(1, len(v) + 1),
                      i -> abs(v[i] - q[i]::DOUBLE * scale))), 9) AS max_err
         FROM qz
+    """
+    sqls["q83_sliding_chunks"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOK} AS ts FROM documents
+        ), nn AS (
+          SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0
+        ), c AS (
+          SELECT doc_id, ts,
+                 unnest(range(0, CASE WHEN n <= 32 THEN 1
+                        ELSE ((n - 32 + 23) // 24) + 1 END)) AS cid
+          FROM nn
+        )
+        SELECT doc_id, cid::INT AS chunk_id, (cid * 24)::INT AS start,
+               len(list_slice(ts, cid * 24 + 1, cid * 24 + 32))::INT AS n_tokens,
+               md5(list_aggregate(list_slice(ts, cid * 24 + 1, cid * 24 + 32),
+                                  'string_agg', ' ')) AS chunk_hash
+        FROM c
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

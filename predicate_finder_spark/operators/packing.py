@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from predicate_finder_spark.functions.hashing import md5_bucket
+from predicate_finder_spark.functions.text import tokenize
 
 
 def pack_chunks(
@@ -84,3 +85,51 @@ def pack_chunks(
         )
     )
     return packed
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Per-document sliding-window chunking with overlap — the RAG/
+    long-context training-sample cutter (vs :func:`pack_chunks`, which
+    concatenates ACROSS documents; this one never crosses a document
+    boundary, and ``size - stride`` tokens of context repeat between
+    consecutive chunks).
+
+    Output: one row per (doc, chunk): ``(id, chunk_id, start, n_tokens,
+    chunk)`` where chunk = tokens[start : start + size] rejoined.  A doc
+    with <= size tokens yields exactly one chunk; empty docs yield none;
+    the last window is the remainder (never padded).  n_chunks =
+    ceil((n - size) / stride) + 1.
+
+    Pure column expressions end-to-end (tokenize -> sequence -> explode ->
+    slice): narrow, no shuffle, no Python — embarrassingly parallel over
+    input splits, and value-exact in the q83 oracle."""
+    if not (0 < stride <= size):
+        raise ValueError("sliding_chunks: need 0 < stride <= size")
+    toks = tokenize(F.col(text_col))
+    rows = df.select(
+        F.col(id_col).alias("id"), toks.alias("__toks"), F.size(toks).alias("__n")
+    ).filter(F.col("__n") > 0)
+    n = F.col("__n")
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.floor((n - F.lit(size) + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+        + F.lit(1)
+    )
+    exploded = rows.select(
+        "id", "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    chunk = F.slice(F.col("__toks"), start + 1, size)
+    return exploded.select(
+        "id",
+        "chunk_id",
+        start.alias("start"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk"),
+    )
