@@ -1225,6 +1225,36 @@ def q83_sliding_chunks(spark, sf):
     )
 
 
+def q84_dup_spans(spark, sf):
+    """Exact duplicated-substring spans (dedup.duplicate_spans — the
+    distributed Lee-et-al.-2022 substring dedup, 8-token k-gram seeds):
+    maximal token ranges whose every 8-gram window occurs at >= 2 corpus
+    sites, merged per document via gaps-and-islands."""
+    from predicate_finder_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf, "documents"), min_len=8)
+
+
+def q85_lm_ppl(spark, sf):
+    """Bigram-LM self-perplexity (operators/lm.py, the CCNet-style
+    model-based quality gate): add-one-smoothed bigram LM fit on the
+    documents table, scored over the same table.  Integer micro-unit
+    outputs — parallelism-exact and hashable without float rounding."""
+    from predicate_finder_spark.operators import lm as _lm
+
+    d = _t(spark, sf, "documents")
+    ctx, bgs, v = _lm.fit_bigram_lm(d)
+    out = _lm.perplexity(d, ctx, bgs, v, keep_micro=True)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_micro",
+        F.floor(-F.col("sum_micro").cast("double") / F.col("n_bigrams") + 0.5)
+        .cast("bigint")
+        .alias("ppl_micro"),
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1333,6 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_fold_diacritics": q81_fold_diacritics,
         "q82_quantize": q82_quantize,
         "q83_sliding_chunks": q83_sliding_chunks,
+        "q84_dup_spans": q84_dup_spans,
+        "q85_lm_ppl": q85_lm_ppl,
     }
 
 
@@ -2496,6 +2528,60 @@ def oracle_sql() -> dict[str, str]:
                md5(list_aggregate(list_slice(ts, cid * 24 + 1, cid * 24 + 32),
                                   'string_agg', ' ')) AS chunk_hash
         FROM c
+    """
+    sqls["q84_dup_spans"] = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, {_TOK} AS ts FROM documents
+        ), grams AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(ts) >= 8 THEN range(0, len(ts) - 7)
+                        ELSE []::BIGINT[] END)::INT AS pos,
+                 unnest(CASE WHEN len(ts) >= 8
+                        THEN list_transform(range(0, len(ts) - 7),
+                             i -> array_to_string(ts[i + 1:i + 8], ' '))
+                        ELSE []::VARCHAR[] END) AS gram
+          FROM tok
+        ), dup AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c FROM grams
+          ) WHERE c >= 2
+        ), isl AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM dup
+        )
+        SELECT doc_id, min(pos)::INT AS span_start, (max(pos) + 8)::INT AS span_end,
+               (max(pos) + 8 - min(pos))::INT AS n_tokens
+        FROM isl GROUP BY doc_id, grp
+    """
+    sqls["q85_lm_ppl"] = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, {_TOK} AS ts FROM documents
+        ), inst AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(ts) >= 2
+                        THEN list_transform(range(0, len(ts) - 1), i -> ts[i + 1])
+                        ELSE []::VARCHAR[] END) AS u,
+                 unnest(CASE WHEN len(ts) >= 2
+                        THEN list_transform(range(0, len(ts) - 1), i -> ts[i + 2])
+                        ELSE []::VARCHAR[] END) AS w
+          FROM tok
+        ), ctx AS MATERIALIZED (
+          SELECT u, count(*) AS c_u FROM inst GROUP BY u
+        ), bgs AS MATERIALIZED (
+          SELECT u, w, count(*) AS c_uw FROM inst GROUP BY u, w
+        ), v AS (
+          SELECT count(DISTINCT t) AS vs FROM (SELECT unnest(ts) AS t FROM tok)
+        ), terms AS (
+          SELECT i.doc_id,
+                 floor(log2((coalesce(b.c_uw, 0) + 1)::DOUBLE
+                            / (coalesce(c.c_u, 0) + v.vs)::DOUBLE)
+                       * 1000000 + 0.5)::BIGINT AS micro
+          FROM inst i LEFT JOIN ctx c USING (u) LEFT JOIN bgs b USING (u, w), v
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(micro)::BIGINT AS sum_micro,
+               floor(-(sum(micro)::DOUBLE) / count(*) + 0.5)::BIGINT AS ppl_micro
+        FROM terms GROUP BY doc_id
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

@@ -293,3 +293,98 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 5,
+) -> DataFrame:
+    """Exact duplicated-substring spans, k-gram seeded (the distributed
+    analog of Lee et al. 2022's suffix-array substring dedup).
+
+    A window start ``p`` in a document is *duplicated* iff the ``min_len``-token
+    gram beginning at ``p`` occurs at any OTHER (doc, position) in the corpus
+    — cross-document or a repeat inside the same document.  Maximal runs of
+    consecutive duplicated starts ``[p1..p2]`` merge into one span covering
+    token indices ``[p1, p2 + min_len)``: every ``min_len``-token window inside
+    the span is duplicated somewhere, which is exactly the suffix-array
+    criterion restricted to seeds of length ``min_len`` (a duplicated
+    substring of length L >= min_len contributes L - min_len + 1 consecutive
+    duplicated starts, so it is recovered in full).
+
+    Shuffle shape at 100 TB: the gram explode emits one narrow row per token
+    (id, pos, 16-byte md5) — documents themselves never shuffle; duplicate
+    detection is a partial-agg groupBy on the md5 key followed by one
+    semi-join back; island merging is one per-document window.  No pairwise
+    doc comparison anywhere.
+
+    Returns (doc_id, span_start, span_end, n_tokens) with token-index bounds,
+    span_end exclusive.
+    """
+    k = min_len
+    toks = docs.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("ts"))
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("ts") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - k),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("ts"), i + 1, k), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "g"),
+    )
+    # grams occurring at >= 2 (doc, pos) sites; partial agg shrinks map-side
+    dup_keys = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__c")).filter(F.col("__c") >= 2)
+    dup_pos = grams.join(dup_keys.select("g"), "g", "left_semi")
+    # gaps-and-islands: consecutive duplicated starts share (pos - row_number)
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = dup_pos.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("id", "__grp")
+        .agg(F.min("pos").alias("span_start"), (F.max("pos") + k).alias("span_end"))
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        )
+    )
+
+
+def cut_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every duplicated span's tokens and reassemble the text.
+
+    Policy: ALL occurrences of duplicated material are dropped (duplicated
+    spans in web corpora are overwhelmingly boilerplate; dropping every
+    occurrence is the standard production simplification of Lee et al.'s
+    keep-one).  Documents with no spans pass through byte-identical.
+
+    The spans frame aggregates to one array per document before the join, so
+    the corpus-side join is 1:1 (never a row explosion), and the token cut is
+    a single higher-order filter — no Python, no second shuffle of the text.
+    """
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    joined = docs.join(agg, id_col, "left")
+    ts = tokenize(F.col(text_col))
+    kept = F.filter(
+        ts,
+        lambda _t, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return joined.withColumn(
+        text_col,
+        F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(F.array_join(kept, " ")),
+    ).drop("__spans")

@@ -138,3 +138,97 @@ def test_embedding_lsh_multitable_recall(spark):
     assert got <= truth  # verify stage: no false positives
     recall = len(got & truth) / len(truth)
     assert recall >= 0.95, f"multi-table LSH recall {recall:.3f} < 0.95"
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (Lee et al. 2022 semantics, k-gram seeded)
+# ---------------------------------------------------------------------------
+
+_BOILER = "subscribe to our newsletter for all the latest updates"  # 9 tokens
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        (0, _BOILER + " alpha beta gamma delta"),
+        (1, _BOILER + " epsilon zeta eta theta"),
+        (2, "a fully original document with no duplicated content at all"),
+        (3, "short text"),  # below min_len: no grams at all
+        (4, "x y z w v " + _BOILER),  # boilerplate at the tail
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_duplicate_spans_hand_example(span_docs):
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_tokens"])
+        for r in dedup.duplicate_spans(span_docs, min_len=5).collect()
+    }
+    # 9-token boilerplate with k=5: duplicated starts 0..4 merge to [0, 9)
+    assert spans[0] == (0, 9, 9)
+    assert spans[1] == (0, 9, 9)
+    assert spans[4] == (5, 14, 9)  # shifted by the 5 unique lead tokens
+    assert 2 not in spans and 3 not in spans
+
+
+def test_duplicate_spans_intra_document_repeat(spark):
+    # the same 5-gram occurs twice INSIDE one doc -> both sites are spans
+    phrase = "one two three four five"
+    df = spark.createDataFrame(
+        [(0, phrase + " filler aa bb cc dd " + phrase)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(df, min_len=5).collect()
+    )
+    assert got == [(0, 5), (10, 15)]
+
+
+def _py_spans(rows, k):
+    from collections import Counter
+
+    from predicate_finder_spark.functions.text import py_tokenize
+
+    toks = {i: py_tokenize(t) for i, t in rows}
+    c = Counter()
+    for ts in toks.values():
+        for p in range(len(ts) - k + 1):
+            c[tuple(ts[p : p + k])] += 1
+    out = set()
+    for i, ts in toks.items():
+        dup = [p for p in range(len(ts) - k + 1) if c[tuple(ts[p : p + k])] >= 2]
+        while dup:
+            run = [dup.pop(0)]
+            while dup and dup[0] == run[-1] + 1:
+                run.append(dup.pop(0))
+            out.add((i, run[0], run[-1] + k, run[-1] + k - run[0]))
+    return out
+
+
+def test_duplicate_spans_python_twin(spark):
+    # deterministic corpus with cross-doc shared chunks at varied offsets
+    words = ["w%d" % i for i in range(30)]
+    rows = []
+    for d in range(12):
+        body = [words[(d * 7 + j) % 30] for j in range(20)]
+        if d % 3 == 0:  # plant an 8-token shared chunk
+            body[4:12] = ["dup%d" % j for j in range(8)]
+        rows.append((d, " ".join(body)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in dedup.duplicate_spans(df, min_len=5).collect()
+    }
+    assert got == _py_spans(rows, 5)
+
+
+def test_cut_duplicate_spans(span_docs):
+    spans = dedup.duplicate_spans(span_docs, min_len=5)
+    cut = {r["doc_id"]: r["text"] for r in
+           dedup.cut_duplicate_spans(span_docs, spans).collect()}
+    assert cut[0] == "alpha beta gamma delta"
+    assert cut[1] == "epsilon zeta eta theta"
+    assert cut[4] == "x y z w v"
+    # untouched docs pass through byte-identical
+    assert cut[2] == "a fully original document with no duplicated content at all"
+    assert cut[3] == "short text"
