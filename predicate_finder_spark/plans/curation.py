@@ -52,6 +52,8 @@ def curate_docs(
     max_shingle_df: int | None = None,
     victim_policy: str = "pair",
     quality_model=None,
+    ppl_model: tuple | None = None,
+    max_log2_ppl: float = 6.0,
 ) -> DataFrame:
     """Return the surviving rows of ``docs`` (original schema plus
     ``quality`` and ``lang_pred``), after:
@@ -62,9 +64,15 @@ def curate_docs(
        tuple like PINNED_QUALITY_WEIGHTS) to gate on the FITTED
        classifier's probability instead — still a pure column expression,
        so the gate stays shuffle-free and Python-free either way
-    2. lang_id(text) in langs               (stopword-profile argmax)
-    3. exact dedup                          (lowest id per md5(text))
-    4. near-dup dedup: ``near_dup`` = 'minhash' (MinHash-LSH blocked
+    2. (optional) perplexity gate: pass ``ppl_model`` = the
+       ``(context, bigrams, vocab_size)`` triple from
+       operators/lm.fit_bigram_lm to keep only docs whose bigram-LM
+       ``log2_ppl <= max_log2_ppl`` — the CCNet-style model-based head
+       filter.  Costs one broadcast-model join + one per-doc partial agg;
+       docs with < 2 tokens have no defined perplexity and are dropped.
+    3. lang_id(text) in langs               (stopword-profile argmax)
+    4. exact dedup                          (lowest id per md5(text))
+    5. near-dup dedup: ``near_dup`` = 'minhash' (MinHash-LSH blocked
        candidates, Jaccard-verified — the scale path), 'jaccard' (exact
        inverted-index pairs — the oracle-friendly exact path), or None.
     """
@@ -84,6 +92,16 @@ def curate_docs(
             (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
         )
     )
+    if ppl_model is not None:
+        from predicate_finder_spark.operators.lm import perplexity
+
+        ctx, bgs, vocab = ppl_model
+        scores = perplexity(
+            kept, ctx, bgs, vocab, id_col=id_col, text_col=text_col
+        ).filter(F.col("log2_ppl") <= max_log2_ppl)
+        kept = kept.join(
+            scores.select(id_col, "log2_ppl"), id_col, "inner"
+        )
     kept = exact_dedup(kept, id_col=id_col, text_col=text_col)
     if near_dup is None:
         return kept

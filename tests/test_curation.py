@@ -149,3 +149,34 @@ def test_fitted_quality_model_gate(spark):
     # 3 sentence draws collided); no spam text does
     n_prose_texts = sample.filter("label = 1.0").select("text").distinct().count()
     assert kept.count() == n_prose_texts
+
+
+def test_perplexity_gate(spark):
+    """ppl_model gate: off-domain gibberish is filtered by the bigram-LM
+    perplexity threshold while fluent in-domain docs survive."""
+    from predicate_finder_spark.operators.lm import fit_bigram_lm, perplexity
+    from predicate_finder_spark.plans.curation import curate_docs
+
+    fluent = [
+        "the cat sat on the mat near the door and the dog slept by the fire",
+        "the dog sat on the log near the door and the cat slept by the mat",
+        "the cat and the dog slept near the fire by the door on the mat",
+    ]
+    gibberish = "zorp quix flemb trast wuzzle brin kelt vosh drap nux morv"
+    rows = [(i, t) for i, t in enumerate(fluent)] + [(9, gibberish)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = fit_bigram_lm(docs.filter("doc_id < 3"))
+    # threshold between the in-domain band and the gibberish score
+    ppl = {r["doc_id"]: r["log2_ppl"]
+           for r in perplexity(docs, *model).collect()}
+    cut = (max(ppl[i] for i in (0, 1, 2)) + ppl[9]) / 2
+    assert max(ppl[i] for i in (0, 1, 2)) < ppl[9]
+
+    kept = curate_docs(
+        docs, min_quality=0.0, langs=("en", "und"), near_dup=None,
+        ppl_model=model, max_log2_ppl=cut,
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 1, 2]
+    # survivors carry the score column
+    assert "log2_ppl" in kept.columns
