@@ -1255,6 +1255,25 @@ def q85_lm_ppl(spark, sf):
     )
 
 
+def q86_cut_spans(spark, sf):
+    """Substring-dedup span CUT (dedup.cut_duplicate_spans composed on
+    q84's spans): every duplicated 8-gram region removed from every
+    document, text rebuilt.  Hash + surviving token count per doc."""
+    from predicate_finder_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_spans,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    spans = duplicate_spans(d, min_len=8)
+    out = cut_duplicate_spans(d, spans)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+    )
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1365,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_sliding_chunks": q83_sliding_chunks,
         "q84_dup_spans": q84_dup_spans,
         "q85_lm_ppl": q85_lm_ppl,
+        "q86_cut_spans": q86_cut_spans,
     }
 
 
@@ -2582,6 +2602,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(micro)::BIGINT AS sum_micro,
                floor(-(sum(micro)::DOUBLE) / count(*) + 0.5)::BIGINT AS ppl_micro
         FROM terms GROUP BY doc_id
+    """
+    sqls["q86_cut_spans"] = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, {_TOK} AS ts FROM documents
+        ), grams AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(ts) >= 8 THEN range(0, len(ts) - 7)
+                        ELSE []::BIGINT[] END)::INT AS pos,
+                 unnest(CASE WHEN len(ts) >= 8
+                        THEN list_transform(range(0, len(ts) - 7),
+                             i -> array_to_string(ts[i + 1:i + 8], ' '))
+                        ELSE []::VARCHAR[] END) AS gram
+          FROM tok
+        ), dup AS MATERIALIZED (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c FROM grams
+          ) WHERE c >= 2
+        ), covered AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(range(pos, pos + 8))::INT AS ci FROM dup
+        ), tokpos AS (
+          SELECT doc_id, unnest(ts) AS tk, unnest(range(0, len(ts)))::INT AS idx
+          FROM tok
+        ), kept AS (
+          SELECT p.doc_id, p.tk, p.idx
+          FROM tokpos p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.idx = c.ci
+          WHERE c.doc_id IS NULL
+        ), res AS (
+          SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) AS text2, count(*) AS n
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, md5(coalesce(r.text2, '')) AS text_hash,
+               coalesce(r.n, 0)::INT AS n_tokens
+        FROM tok t LEFT JOIN res r USING (doc_id)
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

@@ -54,10 +54,15 @@ def curate_docs(
     quality_model=None,
     ppl_model: tuple | None = None,
     max_log2_ppl: float = 6.0,
+    dup_span_min_len: int | None = None,
 ) -> DataFrame:
     """Return the surviving rows of ``docs`` (original schema plus
     ``quality`` and ``lang_pred``), after:
 
+    0. (optional) exact-substring span cut: ``dup_span_min_len`` runs
+       dedup.duplicate_spans / cut_duplicate_spans FIRST (the Lee et al.
+       order — boilerplate is removed before any quality statistics are
+       computed on it), rewriting ``text_col`` in place
     1. quality gate: heuristic quality_score(text) >= min_quality by
        default; pass ``quality_model`` (model bytes from
        operators/quality.fit_quality_classifier, or a ``(weights, bias)``
@@ -76,6 +81,16 @@ def curate_docs(
        candidates, Jaccard-verified — the scale path), 'jaccard' (exact
        inverted-index pairs — the oracle-friendly exact path), or None.
     """
+    if dup_span_min_len is not None:
+        from predicate_finder_spark.operators.dedup import (
+            cut_duplicate_spans,
+            duplicate_spans,
+        )
+
+        spans = duplicate_spans(
+            docs, id_col=id_col, text_col=text_col, min_len=dup_span_min_len
+        )
+        docs = cut_duplicate_spans(docs, spans, id_col=id_col, text_col=text_col)
     if quality_model is None:
         qcol = quality_score(F.col(text_col))
     else:

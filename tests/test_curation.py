@@ -180,3 +180,27 @@ def test_perplexity_gate(spark):
     assert ids == [0, 1, 2]
     # survivors carry the score column
     assert "log2_ppl" in kept.columns
+
+
+def test_dup_span_cut_prestep(spark):
+    """dup_span_min_len cuts shared boilerplate BEFORE quality/dedup; the
+    rewritten texts then collapse under exact dedup."""
+    from predicate_finder_spark.plans.curation import curate_docs
+
+    boiler = "click here to accept cookies and continue reading this site"
+    rows = [
+        (0, boiler + " the quick brown fox jumps over the lazy dog today"),
+        (1, boiler + " the quick brown fox jumps over the lazy dog today"),
+        (2, "a completely original sentence about orchestrating spark stages here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = curate_docs(
+        docs, min_quality=0.0, langs=("en", "und"), near_dup=None,
+        dup_span_min_len=5,
+    )
+    out = {r["doc_id"]: r["text"] for r in kept.collect()}
+    # docs 0/1 were identical: boiler AND body are duplicated spans -> both
+    # cut to empty, then exact dedup keeps only doc 0
+    assert sorted(out) == [0, 2]
+    assert out[0] == ""
+    assert out[2] == rows[2][1]
