@@ -1,0 +1,83 @@
+"""Web-graph construction from the crawl's ``html`` column.
+
+The north-rule input table carries raw page bytes (``html: binary``);
+besides text extraction (operators/extract.py) a Common-Crawl-style KG
+pipeline mines the LINK structure: outlink edges feed PageRank salience
+(operators/graph.pagerank — already wired to the vertex sink), host-level
+connectivity drives crawl frontier/seed-quality decisions, and anchor
+statistics feed alias mining (operators/linking.build_alias_dictionary).
+
+All extraction here is pure column expressions (codegen regex over the
+decoded bytes — no Python worker, no shuffle until the edge aggregation),
+and the regexes stay inside the Java-regex ∩ RE2 subset so a SQL oracle
+can reproduce them byte-for-byte.
+
+At 100 TB: extract+explode is a narrow map stage; the only shuffles are
+the ``distinct()`` on canonical edges and the host-graph partial-agg
+groupBy — both on short URL/host keys, never on page bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.functions.urls import canonicalize_url, url_host
+
+# double-quoted href attribute values; [^"]+ keeps the full attr value
+# (fragments/tracking params are the canonicalizer's job, not the regex's)
+_HREF_PATTERN = '(?i)href="([^"]+)"'
+
+
+def extract_outlinks(html: Column | str) -> Column:
+    """``html`` (binary or string) -> array<string> of raw href values."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.regexp_extract_all(c.cast("string"), F.lit(_HREF_PATTERN), 1)
+
+
+def outlink_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    canonicalize: bool = True,
+) -> DataFrame:
+    """(src, dst) edge list of the page graph, one row per distinct link.
+
+    ``canonicalize=True`` runs both endpoints through
+    functions/urls.canonicalize_url, so mirror spellings of the same target
+    (WWW-case, default ports, utm noise, fragments) collapse into one edge
+    BEFORE the distinct — the dedup the crawl graph needs to not double-
+    count every tracking-tagged copy of a link.  Self-loops are kept (a
+    page may legitimately link to itself); empty hrefs never match the
+    extraction regex.
+    """
+    src = F.col(url_col)
+    dst = F.explode(extract_outlinks(F.col(html_col)))
+    edges = pages.select(src.alias("__src"), dst.alias("__dst"))
+    if canonicalize:
+        edges = edges.select(
+            canonicalize_url(F.col("__src")).alias("src"),
+            canonicalize_url(F.col("__dst")).alias("dst"),
+        )
+    else:
+        edges = edges.select(
+            F.col("__src").alias("src"), F.col("__dst").alias("dst")
+        )
+    return edges.distinct()
+
+
+def host_graph(edges: DataFrame) -> DataFrame:
+    """Collapse a page edge list to (src_host, dst_host, n_links).
+
+    One partial-agg groupBy on two short host keys; the host projection is
+    the codegen'd url_host expression, so the page-level frame never
+    reaches Python.
+    """
+    return (
+        edges.select(
+            url_host(F.col("src")).alias("src_host"),
+            url_host(F.col("dst")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

@@ -179,7 +179,16 @@ def build_pages(rows: DataFrame) -> DataFrame:
     html = F.concat(
         F.lit("<html><head><title>"), F.col("url"),
         F.lit('</title><script>var x=1;</script></head><body>'
-              '<nav>Home | About | Contact</nav>'
+              '<nav>Home | About | Contact | <a href="'),
+        F.format_string("https://example.org/page/%08d", F.col("page_id") + 1),
+        F.lit('">next</a> <a href="'),
+        F.format_string(
+            "HTTPS://Partner%d.Example.NET:443/ref/%08d?utm_source=synth",
+            F.pmod(F.col("page_id"), F.lit(7)), F.col("page_id"),
+        ),
+        # links live inside <nav>, which the extractor drops whole — the
+        # byte-identical text invariant is untouched by the link markup
+        F.lit('">partner</a></nav>'
               '<div class="ads">Buy now! Limited offer!</div><article><p>'),
         F.regexp_replace(F.col("text"), r"(?<=[.!?]) ", "</p><p>"),
         F.lit("</p></article><footer>&copy; 2026 example.org</footer></body></html>"),

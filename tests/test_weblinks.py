@@ -1,0 +1,83 @@
+"""Web-graph construction from html (operators/weblinks.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from predicate_finder_spark.operators import weblinks
+
+
+def test_extract_outlinks_fixture(spark):
+    html = (
+        '<html><body><a href="https://a.com/x">1</a>'
+        "<a href='https://single-quoted.com/skipped'>2</a>"
+        '<A HREF="HTTP://B.COM:80/y?utm_source=z#f">3</A>'
+        '<a class="btn" href="https://a.com/x">dup</a></body></html>'
+    )
+    df = spark.createDataFrame([(1, html.encode())], "id long, html binary")
+    links = df.select(weblinks.extract_outlinks("html").alias("ls")).collect()[0]["ls"]
+    # raw extraction: order preserved, case-insensitive attr, double quotes only
+    assert links == ["https://a.com/x", "HTTP://B.COM:80/y?utm_source=z#f", "https://a.com/x"]
+
+
+def test_outlink_edges_canonicalize_collapses_mirrors(spark):
+    html = (
+        '<a href="https://t.com/p?utm_source=a">1</a>'
+        '<a href="https://T.COM:443/p#frag">2</a>'
+        '<a href="https://other.net/q">3</a>'
+    )
+    df = spark.createDataFrame(
+        [("https://src.org/1", html.encode())], "url string, html binary"
+    )
+    edges = {(r["src"], r["dst"]) for r in weblinks.outlink_edges(df).collect()}
+    # the two t.com spellings collapse into ONE canonical edge
+    assert edges == {
+        ("https://src.org/1", "https://t.com/p"),
+        ("https://src.org/1", "https://other.net/q"),
+    }
+
+
+def test_synth_corpus_web_graph(spark, corpus):
+    """The synthetic crawl now carries a deterministic link structure:
+    every page links to the next page id and to one of 7 partner hosts —
+    and the text-extraction invariant is untouched by the link markup."""
+    from predicate_finder_spark.operators.extract import extract_pages
+
+    pages = corpus["pages"]
+    n = pages.count()
+    edges = weblinks.outlink_edges(pages).cache()
+    assert edges.count() == 2 * n  # next + partner per page, all distinct
+    hosts = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in weblinks.host_graph(edges).collect()
+    }
+    # canonicalized partner hosts: lowercase, :443 stripped
+    partner = {k: v for k, v in hosts.items() if k[1].startswith("partner")}
+    assert set(k[1] for k in partner) <= {f"partner{i}.example.net" for i in range(7)}
+    assert sum(partner.values()) == n
+    assert hosts[("example.org", "example.org")] == n
+    # byte-identical extraction invariant still holds with links in the nav
+    re_extracted = extract_pages(pages.select("url", "warc_ts", "html", "lang", "text"))
+    diff = (
+        re_extracted.select("url", F.col("text").alias("t2"))
+        .join(pages.select("url", "text"), "url")
+        .filter(F.col("t2") != F.col("text"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_host_graph_feeds_pagerank(spark, corpus):
+    """Host edges plug straight into operators/graph.pagerank."""
+    from predicate_finder_spark.operators.graph import pagerank
+
+    hg = weblinks.host_graph(weblinks.outlink_edges(corpus["pages"]))
+    ranks = pagerank(
+        hg.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")),
+        n_iter=3,
+    )
+    r = {row["node"]: row["rank_units"] for row in ranks.collect()}
+    assert len(r) == 8  # example.org + 7 partner hosts
+    # example.org receives every page's 'next' link mass -> top rank
+    assert r["example.org"] == max(r.values())
