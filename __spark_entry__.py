@@ -1274,6 +1274,48 @@ def q86_cut_spans(spark, sf):
     )
 
 
+def _weblink_pages(spark, sf):
+    """Deterministic crawl-page frame (url + binary html) built from the
+    documents table for the weblinks queries: two links per page, both
+    exercising the canonicalization passes (upper-case scheme/host,
+    default :443 port, tracking param, fragment, mixed-case HREF attr)."""
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="HTTPS://WWW.Example.COM:443/d'), sid,
+        F.lit("?utm_source=x&q="), F.pmod("doc_id", F.lit(5)).cast("string"),
+        F.lit('">a</a><p>t</p><A HREF="http://mirror'),
+        F.pmod("doc_id", F.lit(3)).cast("string"),
+        F.lit(".net/p"), sid, F.lit('#sec">b</A></body></html>'),
+    )
+    return d.select(
+        F.concat(
+            F.lit("http://src"), F.pmod("doc_id", F.lit(4)).cast("string"),
+            F.lit(".org/doc/"), sid,
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def q87_outlink_edges(spark, sf):
+    """Web-graph edge extraction (operators/weblinks.py): codegen regex
+    href extraction over binary page bytes, both endpoints canonicalized
+    (functions/urls) before the distinct.  Every regex is in the
+    Java-regex ∩ RE2 subset, so the oracle replays the identical chain."""
+    from predicate_finder_spark.operators.weblinks import outlink_edges
+
+    return outlink_edges(_weblink_pages(spark, sf))
+
+
+def q88_host_graph(spark, sf):
+    """Host-level rollup of the page graph (weblinks.host_graph): codegen
+    url_host projection of the canonical edges, ONE partial-agg groupBy on
+    two short host keys."""
+    from predicate_finder_spark.operators.weblinks import host_graph, outlink_edges
+
+    return host_graph(outlink_edges(_weblink_pages(spark, sf)))
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1385,6 +1427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_dup_spans": q84_dup_spans,
         "q85_lm_ppl": q85_lm_ppl,
         "q86_cut_spans": q86_cut_spans,
+        "q87_outlink_edges": q87_outlink_edges,
+        "q88_host_graph": q88_host_graph,
     }
 
 
@@ -2635,6 +2679,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.doc_id, md5(coalesce(r.text2, '')) AS text_hash,
                coalesce(r.n, 0)::INT AS n_tokens
         FROM tok t LEFT JOIN res r USING (doc_id)
+    """
+    # q87/q88: the synthetic crawl page + href extraction + the full
+    # canonicalization chain replayed in SQL (same Java-regex ∩ RE2
+    # patterns as q67; the canon/host chains are emitted by helpers so
+    # both endpoints share one source of truth)
+    def _canon(u: str) -> str:
+        scheme = f"regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)"
+        hostport = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+        rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')"
+        host0 = f"lower(regexp_replace({hostport}, '^[^@]*@', ''))"
+        host = (
+            f"CASE WHEN lower({scheme}) = 'http' AND {host0} LIKE '%:80'"
+            f" THEN regexp_replace({host0}, ':80$', '')"
+            f" WHEN lower({scheme}) = 'https' AND {host0} LIKE '%:443'"
+            f" THEN regexp_replace({host0}, ':443$', '')"
+            f" ELSE {host0} END"
+        )
+        rest_c = (
+            f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            f"{rest}, '#.*$', ''), '&{_TRK}', '', 'g'), '\\?{_TRK}&', '?'),"
+            f" '\\?{_TRK}$', '')"
+        )
+        return f"(lower({scheme}) || '://' || {host} || {rest_c})"
+
+    def _host(u: str) -> str:
+        hostport = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+        return (
+            f"lower(regexp_replace(regexp_replace({hostport}, '^[^@]*@', ''),"
+            f" ':[0-9]+$', ''))"
+        )
+
+    _WEBLINK_EDGES = f"""
+        WITH m AS (
+          SELECT 'http://src' || (doc_id % 4) || '.org/doc/' || doc_id AS src_url,
+                 '<html><body><a href="HTTPS://WWW.Example.COM:443/d' || doc_id ||
+                 '?utm_source=x&q=' || (doc_id % 5) ||
+                 '">a</a><p>t</p><A HREF="http://mirror' || (doc_id % 3) ||
+                 '.net/p' || doc_id || '#sec">b</A></body></html>' AS html
+          FROM documents
+        ), l AS (
+          SELECT src_url,
+                 unnest(regexp_extract_all(html, '(?i)href="([^"]+)"', 1)) AS raw
+          FROM m
+        ), e AS (
+          SELECT DISTINCT {_canon('src_url')} AS src, {_canon('raw')} AS dst FROM l
+        )
+    """
+    sqls["q87_outlink_edges"] = _WEBLINK_EDGES + "SELECT src, dst FROM e"
+    sqls["q88_host_graph"] = _WEBLINK_EDGES + f"""
+        SELECT {_host('src')} AS src_host, {_host('dst')} AS dst_host,
+               count(*) AS n_links
+        FROM e GROUP BY 1, 2
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the
