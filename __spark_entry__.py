@@ -1316,6 +1316,49 @@ def q88_host_graph(spark, sf):
     return host_graph(outlink_edges(_weblink_pages(spark, sf)))
 
 
+def _structured_pages(spark, sf):
+    """Deterministic crawl pages carrying the two structured-data channels
+    (operators/structured.py): a schema.org JSON-LD block and an infobox
+    table with inner markup + messy whitespace."""
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">{"@id":"doc:'),
+        sid,
+        F.lit('","@type":"Document","title":"Doc '), sid,
+        F.lit('","source":"'), F.col("source"),
+        F.lit('","lang":"'), F.col("lang"),
+        F.lit('"}</script></head><body><aside><table>'
+              "<tr><th>Source Name</th><td><b>"),
+        F.col("source"),
+        F.lit("</b></td></tr><tr><th>Word  Bucket</th><td> "),
+        F.pmod("doc_id", F.lit(10)).cast("string"),
+        F.lit(" </td></tr></table></aside></body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("http://docs.example.org/"), sid).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def q89_jsonld_triples(spark, sf):
+    """JSON-LD fact extraction (structured.jsonld_triples): regex block
+    extraction + JVM map parse + map explode; @id lifts to subj, @-keys
+    drop.  All patterns Java-regex ∩ RE2, values all strings — the DuckDB
+    oracle replays the chain with its json functions byte-for-byte."""
+    from predicate_finder_spark.operators.structured import jsonld_triples
+
+    return jsonld_triples(_structured_pages(spark, sf))
+
+
+def q90_infobox_facts(spark, sf):
+    """Infobox key/value extraction (structured.infobox_facts): <tr> row
+    explode, th/td split, markup strip, snake_case key normalization."""
+    from predicate_finder_spark.operators.structured import infobox_facts
+
+    return infobox_facts(_structured_pages(spark, sf))
+
+
 def q40_kg_pipeline(spark, sf):
     """Flagship KG pipeline (pandas-UDF scorer — no SQL oracle; driver
     records a rows-only check).  Deterministic synthetic corpus."""
@@ -1429,6 +1472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_cut_spans": q86_cut_spans,
         "q87_outlink_edges": q87_outlink_edges,
         "q88_host_graph": q88_host_graph,
+        "q89_jsonld_triples": q89_jsonld_triples,
+        "q90_infobox_facts": q90_infobox_facts,
     }
 
 
@@ -2731,6 +2776,57 @@ def oracle_sql() -> dict[str, str]:
         SELECT {_host('src')} AS src_host, {_host('dst')} AS dst_host,
                count(*) AS n_links
         FROM e GROUP BY 1, 2
+    """
+    # q89/q90: the structured-data channels — JSON-LD via DuckDB's json
+    # functions, infobox via the identical regex chain (the \s+ collapse
+    # and <[^>]+> strip need explicit 'g'; Spark replaces all matches)
+    _STRUCTURED_PAGES = """
+        SELECT 'http://docs.example.org/' || doc_id AS url,
+               '<html><head><script type="application/ld+json">{"@id":"doc:'
+               || doc_id || '","@type":"Document","title":"Doc ' || doc_id
+               || '","source":"' || source || '","lang":"' || lang
+               || '"}</script></head><body><aside><table>'
+               || '<tr><th>Source Name</th><td><b>' || source
+               || '</b></td></tr><tr><th>Word  Bucket</th><td> '
+               || (doc_id % 10)
+               || ' </td></tr></table></aside></body></html>' AS html
+        FROM documents
+    """
+    sqls["q89_jsonld_triples"] = f"""
+        WITH m AS ({_STRUCTURED_PAGES}), b AS (
+          SELECT url, unnest(regexp_extract_all(html,
+                 '(?is)<script type="application/ld\\+json">(.*?)</script>', 1)) AS js
+          FROM m
+        ), k AS (
+          SELECT url, js,
+                 coalesce(json_extract_string(js, '$.@id'), url) AS subj,
+                 unnest(json_keys(js)) AS pred
+          FROM b
+        )
+        SELECT url, subj, pred, json_extract_string(js, '$.' || pred) AS obj
+        FROM k WHERE pred NOT LIKE '@%' AND json_extract_string(js, '$.' || pred) IS NOT NULL
+    """
+
+    def _cell(pat: str) -> str:
+        return (
+            f"trim(regexp_replace(regexp_replace(regexp_extract(tr, '{pat}', 1),"
+            f" '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g'))"
+        )
+
+    _th_cell = _cell("(?is)<th[^>]*>(.*?)</th\\s*>")
+    _td_cell = _cell("(?is)<td[^>]*>(.*?)</td\\s*>")
+    sqls["q90_infobox_facts"] = f"""
+        WITH m AS ({_STRUCTURED_PAGES}), r AS (
+          SELECT url, unnest(regexp_extract_all(html, '(?is)<tr[^>]*>.*?</tr>', 0)) AS tr
+          FROM m
+        ), c AS (
+          SELECT url,
+                 {_th_cell} AS k,
+                 {_td_cell} AS v
+          FROM r
+        )
+        SELECT url, replace(lower(k), ' ', '_') AS key, v AS value
+        FROM c WHERE k <> '' AND v <> ''
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the

@@ -1,0 +1,97 @@
+"""Structured-data extraction from web pages: JSON-LD + infobox tables.
+
+Common-Crawl KG construction mines schema.org JSON-LD blocks and
+infobox-style key/value tables alongside the free text — the structured
+channel that seeded DBpedia itself (the reference's entire predicate
+vocabulary comes from infobox-derived DBpedia ontology properties;
+see reference ``sparql/query.py`` predicate lookups).  Facts from here
+feed the same (subj, pred, obj) sink as the text pipeline; predicate
+surfaces canonicalize onto the ontology via the existing alias/predicate
+machinery (operators/predicates.py).
+
+Everything is pure column expressions — regex block extraction in the
+Java-regex ∩ RE2 subset (oracle-portable, same constraint as
+functions/urls.py), the JVM ``from_json`` map parse, and higher-order
+map explode — zero Python per row.
+
+At 100 TB: both extractors are narrow map stages over the page bytes
+(explode fan-out is bounded by blocks/rows per page, never page count²);
+nothing shuffles until the caller aggregates or joins the emitted facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# schema.org embedding per the JSON-LD spec: a <script> tag whose type is
+# exactly application/ld+json; non-greedy body, never nests
+_JSONLD_PATTERN = '(?is)<script type="application/ld\\+json">(.*?)</script>'
+# row-level extraction: grab whole <tr> elements first (regexp_extract_all
+# yields ONE group, so key/value split happens per exploded row)
+_TR_PATTERN = "(?is)<tr[^>]*>.*?</tr>"
+_TH_PATTERN = "(?is)<th[^>]*>(.*?)</th\\s*>"
+_TD_PATTERN = "(?is)<td[^>]*>(.*?)</td\\s*>"
+
+
+def _clean_cell(c: Column) -> Column:
+    """Strip inner markup from a table cell and collapse whitespace."""
+    out = F.regexp_replace(c, "<[^>]+>", " ")
+    return F.trim(F.regexp_replace(out, "\\s+", " "))
+
+
+def extract_jsonld_blocks(html: Column | str) -> Column:
+    """``html`` (binary or string) -> array<string> of raw JSON-LD bodies."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.regexp_extract_all(c.cast("string"), F.lit(_JSONLD_PATTERN), 1)
+
+
+def jsonld_triples(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, subj, pred, obj) facts from every JSON-LD block on every page.
+
+    ``subj`` is the block's ``@id`` when present, else the page URL (the
+    JSON-LD default-subject rule).  ``@``-prefixed keys are JSON-LD
+    keywords, not predicates — dropped after the subject is lifted.
+    Values parse through ``from_json`` as ``map<string,string>``: flat
+    string-valued objects (the overwhelmingly common schema.org shape)
+    decode losslessly; a malformed block parses to NULL and is dropped,
+    never poisoning the page's other blocks.
+    """
+    js = F.explode(extract_jsonld_blocks(F.col(html_col))).alias("__js")
+    blocks = pages.select(F.col(url_col).alias("url"), js)
+    m = F.from_json("__js", "map<string,string>")
+    kv = blocks.select(
+        "url", F.coalesce(F.element_at(m, "@id"), F.col("url")).alias("subj"),
+        F.explode(m).alias("pred", "obj"),
+    )
+    return kv.filter(~F.col("pred").startswith("@") & F.col("obj").isNotNull())
+
+
+def infobox_facts(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, key, value) facts from <th>/<td> rows of on-page tables.
+
+    The DBpedia-style infobox channel: key is the header cell lowered and
+    space-normalized to ``snake_case`` (a predicate *surface*, ready for
+    ontology canonicalization); value keeps its human casing with inner
+    markup stripped.  Rows lacking either cell (layout tables, spacers)
+    drop out.
+    """
+    c = F.col(html_col).cast("string")
+    rows = F.explode(
+        F.regexp_extract_all(c, F.lit(_TR_PATTERN), 0)
+    ).alias("__row")
+    exploded = pages.select(F.col(url_col).alias("url"), rows)
+    key = _clean_cell(F.regexp_extract("__row", _TH_PATTERN, 1))
+    val = _clean_cell(F.regexp_extract("__row", _TD_PATTERN, 1))
+    return (
+        exploded.select(
+            "url",
+            F.regexp_replace(F.lower(key), " ", "_").alias("key"),
+            val.alias("value"),
+        )
+        .filter((F.col("key") != "") & (F.col("value") != ""))
+    )

@@ -178,7 +178,15 @@ def build_pages(rows: DataFrame) -> DataFrame:
     )
     html = F.concat(
         F.lit("<html><head><title>"), F.col("url"),
-        F.lit('</title><script>var x=1;</script></head><body>'
+        # structured-data channel (operators/structured.py): a schema.org
+        # JSON-LD block in <head> — the whole head is dropped by the
+        # extractor, so the byte-identical text invariant is untouched
+        F.lit('</title><script type="application/ld+json">{"@id":"'),
+        F.col("url"),
+        F.lit('","@type":"WebPage","name":"Page '),
+        F.col("page_id").cast("string"),
+        F.lit('","inLanguage":"'), F.col("lang"),
+        F.lit('"}</script><script>var x=1;</script></head><body>'
               '<nav>Home | About | Contact | <a href="'),
         F.format_string("https://example.org/page/%08d", F.col("page_id") + 1),
         F.lit('">next</a> <a href="'),
@@ -188,7 +196,14 @@ def build_pages(rows: DataFrame) -> DataFrame:
         ),
         # links live inside <nav>, which the extractor drops whole — the
         # byte-identical text invariant is untouched by the link markup
+        # infobox channel: key/value table inside <aside> (also dropped
+        # whole by the extractor — invariant untouched)
         F.lit('">partner</a></nav>'
+              '<aside class="infobox"><table><tr><th>Page Language</th><td>'),
+        F.col("lang"),
+        F.lit("</td></tr><tr><th>Page Id</th><td>"),
+        F.col("page_id").cast("string"),
+        F.lit('</td></tr></table></aside>'
               '<div class="ads">Buy now! Limited offer!</div><article><p>'),
         F.regexp_replace(F.col("text"), r"(?<=[.!?]) ", "</p><p>"),
         F.lit("</p></article><footer>&copy; 2026 example.org</footer></body></html>"),
