@@ -1286,7 +1286,7 @@ def _weblink_pages(spark, sf):
         F.lit("?utm_source=x&q="), F.pmod("doc_id", F.lit(5)).cast("string"),
         F.lit('">a</a><p>t</p><A HREF="http://mirror'),
         F.pmod("doc_id", F.lit(3)).cast("string"),
-        F.lit(".net/p"), sid, F.lit('#sec">b</A></body></html>'),
+        F.lit(".net/p"), sid, F.lit('#sec"><b>Mirror</b>  site</A></body></html>'),
     )
     return d.select(
         F.concat(
@@ -1314,6 +1314,16 @@ def q88_host_graph(spark, sf):
     from predicate_finder_spark.operators.weblinks import host_graph, outlink_edges
 
     return host_graph(outlink_edges(_weblink_pages(spark, sf)))
+
+
+def q91_anchor_texts(spark, sf):
+    """Anchor-text mining (weblinks.anchor_texts): whole-<a> element
+    explode, href canonicalization, markup-stripped anchor surfaces — the
+    crawl-native alias-dictionary source (feeds
+    linking.build_alias_dictionary, q78's input contract)."""
+    from predicate_finder_spark.operators.weblinks import anchor_texts
+
+    return anchor_texts(_weblink_pages(spark, sf))
 
 
 def _structured_pages(spark, sf):
@@ -1474,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_host_graph": q88_host_graph,
         "q89_jsonld_triples": q89_jsonld_triples,
         "q90_infobox_facts": q90_infobox_facts,
+        "q91_anchor_texts": q91_anchor_texts,
     }
 
 
@@ -2761,7 +2772,7 @@ def oracle_sql() -> dict[str, str]:
                  '<html><body><a href="HTTPS://WWW.Example.COM:443/d' || doc_id ||
                  '?utm_source=x&q=' || (doc_id % 5) ||
                  '">a</a><p>t</p><A HREF="http://mirror' || (doc_id % 3) ||
-                 '.net/p' || doc_id || '#sec">b</A></body></html>' AS html
+                 '.net/p' || doc_id || '#sec"><b>Mirror</b>  site</A></body></html>' AS html
           FROM documents
         ), l AS (
           SELECT src_url,
@@ -2776,6 +2787,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT {_host('src')} AS src_host, {_host('dst')} AS dst_host,
                count(*) AS n_links
         FROM e GROUP BY 1, 2
+    """
+    # q91: whole-<a> element explode + href/text split + markup strip
+    _anchor_cell = (
+        "trim(regexp_replace(regexp_replace(regexp_extract(el,"
+        " '(?is)>(.*?)</a\\s*>', 1), '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    sqls["q91_anchor_texts"] = _WEBLINK_EDGES + f""", a AS (
+          SELECT src_url,
+                 unnest(regexp_extract_all(html,
+                   '(?is)<a\\b[^>]*href="[^"]*"[^>]*>.*?</a\\s*>', 0)) AS el
+          FROM m
+        ), x AS (
+          SELECT src_url,
+                 regexp_extract(el, '(?i)href="([^"]+)"', 1) AS raw,
+                 {_anchor_cell} AS anchor
+          FROM a
+        )
+        SELECT {_canon('src_url')} AS src, {_canon('raw')} AS dst, anchor
+        FROM x WHERE anchor <> ''
     """
     # q89/q90: the structured-data channels — JSON-LD via DuckDB's json
     # functions, infobox via the identical regex chain (the \s+ collapse

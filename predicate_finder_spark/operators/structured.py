@@ -34,8 +34,12 @@ _TH_PATTERN = "(?is)<th[^>]*>(.*?)</th\\s*>"
 _TD_PATTERN = "(?is)<td[^>]*>(.*?)</td\\s*>"
 
 
-def _clean_cell(c: Column) -> Column:
-    """Strip inner markup from a table cell and collapse whitespace."""
+def strip_markup(c: Column) -> Column:
+    """Strip inner markup from an html fragment and collapse whitespace.
+
+    Shared by the table-cell and anchor-text extractors (weblinks.py);
+    both oracle-side twins replay the same two regexes with 'g'.
+    """
     out = F.regexp_replace(c, "<[^>]+>", " ")
     return F.trim(F.regexp_replace(out, "\\s+", " "))
 
@@ -85,8 +89,8 @@ def infobox_facts(
         F.regexp_extract_all(c, F.lit(_TR_PATTERN), 0)
     ).alias("__row")
     exploded = pages.select(F.col(url_col).alias("url"), rows)
-    key = _clean_cell(F.regexp_extract("__row", _TH_PATTERN, 1))
-    val = _clean_cell(F.regexp_extract("__row", _TD_PATTERN, 1))
+    key = strip_markup(F.regexp_extract("__row", _TH_PATTERN, 1))
+    val = strip_markup(F.regexp_extract("__row", _TD_PATTERN, 1))
     return (
         exploded.select(
             "url",

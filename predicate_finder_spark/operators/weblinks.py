@@ -23,10 +23,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from predicate_finder_spark.functions.urls import canonicalize_url, url_host
+from predicate_finder_spark.operators.structured import strip_markup
 
 # double-quoted href attribute values; [^"]+ keeps the full attr value
 # (fragments/tracking params are the canonicalizer's job, not the regex's)
 _HREF_PATTERN = '(?i)href="([^"]+)"'
+# whole <a> elements (regexp_extract_all yields ONE group, so href/text
+# split happens per exploded element — same trick as structured.py's <tr>)
+_A_PATTERN = '(?is)<a\\b[^>]*href="[^"]*"[^>]*>.*?</a\\s*>'
+_A_TEXT_PATTERN = "(?is)>(.*?)</a\\s*>"
 
 
 def extract_outlinks(html: Column | str) -> Column:
@@ -64,6 +69,38 @@ def outlink_edges(
             F.col("__src").alias("src"), F.col("__dst").alias("dst")
         )
     return edges.distinct()
+
+
+def anchor_texts(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    canonicalize: bool = True,
+) -> DataFrame:
+    """(src, dst, anchor) — one row per <a> element, anchor markup
+    stripped, whitespace collapsed, empty anchors dropped.
+
+    This is the crawl-native alias-mining source: feeding the output to
+    linking.build_alias_dictionary(surface_col="anchor", entity_col="dst")
+    yields the (alias, entity, prior) dictionary from the corpus itself —
+    Wikipedia-anchor-statistics style (Mendes et al., I-Semantics 2011),
+    which the reference outsources to Spotlight's prebuilt model.  NOT
+    distinct: observation counts carry the prior mass.
+    """
+    el = F.explode(
+        F.regexp_extract_all(
+            F.col(html_col).cast("string"), F.lit(_A_PATTERN), 0
+        )
+    ).alias("__el")
+    exploded = pages.select(F.col(url_col).alias("__src"), el)
+    dst = F.regexp_extract("__el", _HREF_PATTERN, 1)
+    if canonicalize:
+        dst = canonicalize_url(dst)
+    return exploded.select(
+        (canonicalize_url(F.col("__src")) if canonicalize else F.col("__src")).alias("src"),
+        dst.alias("dst"),
+        strip_markup(F.regexp_extract("__el", _A_TEXT_PATTERN, 1)).alias("anchor"),
+    ).filter(F.col("anchor") != "")
 
 
 def host_graph(edges: DataFrame) -> DataFrame:

@@ -68,6 +68,38 @@ def test_synth_corpus_web_graph(spark, corpus):
     assert diff == 0
 
 
+def test_anchor_texts_fixture(spark):
+    html = (
+        '<a href="https://t.com/p?utm_source=a"><b>Nice</b>  page</a>'
+        '<A class="x" HREF="https://u.net/q">u</A>'
+        '<a href="https://v.org/r"><img src="i.png"/></a>'  # empty anchor -> dropped
+    )
+    df = spark.createDataFrame(
+        [("https://SRC.org/1", html.encode())], "url string, html binary"
+    )
+    rows = {(r["src"], r["dst"], r["anchor"])
+            for r in weblinks.anchor_texts(df).collect()}
+    assert rows == {
+        ("https://src.org/1", "https://t.com/p", "Nice page"),
+        ("https://src.org/1", "https://u.net/q", "u"),
+    }
+
+
+def test_anchor_texts_feed_alias_dictionary(spark, corpus):
+    """The crawl-native alias-mining loop: anchors -> (alias, entity, prior)
+    via linking.build_alias_dictionary — each 'next' anchor points at a
+    distinct page, so the alias mass splits uniformly."""
+    from predicate_finder_spark.operators.linking import build_alias_dictionary
+
+    pages = corpus["pages"]
+    n = pages.count()
+    anchors = weblinks.anchor_texts(pages)
+    d = build_alias_dictionary(anchors, surface_col="anchor", entity_col="dst")
+    rows = d.filter(F.col("alias") == "next").collect()
+    assert len(rows) == n
+    assert all(abs(r["prior"] - 1.0 / n) < 1e-12 for r in rows)
+
+
 def test_host_graph_feeds_pagerank(spark, corpus):
     """Host edges plug straight into operators/graph.pagerank."""
     from predicate_finder_spark.operators.graph import pagerank
