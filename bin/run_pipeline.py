@@ -41,6 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lsh", action="store_true", help="LSH-blocked fuzzy linking")
     p.add_argument("--salience", action="store_true",
                    help="annotate vertices with PageRank entity salience")
+    p.add_argument("--structured", action="store_true",
+                   help="union JSON-LD/infobox structured-channel triples")
     args = p.parse_args(argv)
 
     from predicate_finder_spark.config import PipelineConfig
@@ -85,6 +87,22 @@ def main(argv: list[str] | None = None) -> int:
     print(f"entity dictionary: {n_ents} entities, hash-injective", flush=True)
     triples = extract_triples(spark, pages, aliases, kg, onto, emb, cfg)
     ch = cfg.config_hash()
+    if args.structured:
+        # structured channel adds only facts the text channel missed
+        # (left_anti on the triple key): deterministic — on overlap the
+        # text channel's score/provenance win
+        from predicate_finder_spark.operators.structured import structured_triples
+
+        st = structured_triples(pages, aliases, onto)
+        novel = st.join(
+            triples.select("url", "subj", "pred", "obj"),
+            ["url", "subj", "pred", "obj"], "left_anti",
+        )
+        triples = triples.unionByName(novel)
+        # the channel mix is part of the output's identity (same rule as
+        # model bytes in extract_triples): don't resume a text-only sink
+        # into a structured one
+        ch = ch[:12] + "stru"
     m_t = write_stage(triples, f"{args.out}/triples", "triples_out", ch)
     vertices, edges = materialize_graph(
         spark.read.parquet(f"{args.out}/triples"), with_salience=args.salience

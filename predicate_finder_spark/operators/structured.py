@@ -73,6 +73,81 @@ def jsonld_triples(
     return kv.filter(~F.col("pred").startswith("@") & F.col("obj").isNotNull())
 
 
+def structured_triples(
+    pages: DataFrame,
+    aliases: DataFrame,
+    ontology: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Fuse the two structured channels into linked, canonicalized triples
+    (subj, pred, obj, score, url, provenance) — the same contract as the
+    text pipeline's output (scoring.to_triples), union-ready.
+
+    Per page: the JSON-LD ``about`` value names the page's primary
+    subject; each infobox row supplies a (predicate surface, object
+    surface) pair.  Predicate surfaces canonicalize onto the ontology by
+    snake-cased label match, with the exactly-one guard (a surface
+    mapping to >1 distinct predicate is ambiguous and drops — reference
+    DataExtract.py:120-123 semantics).  Entity surfaces link through the
+    alias dictionary via argmax-prior (ambiguity must be broken by the
+    priors; equal-prior ties are nondeterministic, same contract as
+    ``max_by``).
+
+    Scale shape: two narrow extraction scans of the same pages frame, one
+    url-keyed equi-join to attach the subject (page-sized both sides,
+    co-partitioned on the shuffle key), broadcast joins for the ontology
+    keys and the alias dictionary.  Score is 1.0 — structured facts are
+    deterministic extractions, not model guesses.
+    """
+    from predicate_finder_spark.functions.text import normalize_entity
+
+    about = (
+        jsonld_triples(pages, url_col, html_col)
+        .filter(F.col("pred") == "about")
+        .select("url", F.col("obj").alias("subj_surface"))
+    )
+    facts = infobox_facts(pages, url_col, html_col)
+    onto_keys = (
+        ontology.select(
+            F.regexp_replace(F.lower("label"), " ", "_").alias("key"),
+            "predicate",
+        )
+        .distinct()
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("predicate").alias("predicate"))
+        .filter(F.col("n") == 1)
+        .select("key", "predicate")
+    )
+    best_alias = aliases.groupBy("alias").agg(
+        F.max_by("entity", "prior").alias("entity")
+    )
+    return (
+        facts.join(F.broadcast(onto_keys), "key")
+        .join(about, "url")
+        .join(
+            F.broadcast(best_alias.withColumnRenamed("entity", "subj")),
+            normalize_entity(F.col("subj_surface")) == F.col("alias"),
+        )
+        .drop("alias")
+        .join(
+            F.broadcast(best_alias.withColumnRenamed("entity", "obj")),
+            normalize_entity(F.col("value")) == F.col("alias"),
+        )
+        .select(
+            "subj",
+            F.col("predicate").alias("pred"),
+            "obj",
+            F.lit(1.0).alias("score"),
+            "url",
+            F.struct(
+                F.lit("structured").alias("stage"),
+                F.lit("jsonld_about+infobox").alias("rule"),
+            ).alias("provenance"),
+        )
+    )
+
+
 def infobox_facts(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

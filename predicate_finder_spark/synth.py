@@ -171,8 +171,17 @@ def build_pages(rows: DataFrame) -> DataFrame:
     """
     pages = (
         rows.groupBy("page_id", "url", "lang")
-        .agg(F.array_join(F.transform(F.array_sort(F.collect_list(
-            F.struct("sent_idx", "sentence"))), lambda s: s["sentence"]), " ").alias("text"))
+        .agg(
+            F.array_join(F.transform(F.array_sort(F.collect_list(
+                F.struct("sent_idx", "sentence"))), lambda s: s["sentence"]), " ").alias("text"),
+            # one representative gold fact per en page (min sent_idx) —
+            # planted in the structured channels (JSON-LD 'about' subject +
+            # infobox predicate/object row) so structured_triples recovers
+            # a gold subset; non-en pages plant nothing (gold is en-only)
+            F.min(F.when(F.col("lang") == "en", F.struct(
+                "sent_idx", "subj_surface", "pred_words", "obj_surface"
+            ))).alias("fact"),
+        )
         .withColumn("warc_ts", F.timestamp_seconds(
             F.lit(1767225600) + (F.col("page_id") % 30) * 86400 + F.col("page_id") % 86400))
     )
@@ -185,8 +194,12 @@ def build_pages(rows: DataFrame) -> DataFrame:
         F.col("url"),
         F.lit('","@type":"WebPage","name":"Page '),
         F.col("page_id").cast("string"),
-        F.lit('","inLanguage":"'), F.col("lang"),
-        F.lit('"}</script><script>var x=1;</script></head><body>'
+        F.lit('","inLanguage":"'), F.col("lang"), F.lit('"'),
+        F.when(
+            F.col("fact").isNotNull(),
+            F.concat(F.lit(',"about":"'), F.col("fact.subj_surface"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.lit('}</script><script>var x=1;</script></head><body>'
               '<nav>Home | About | Contact | <a href="'),
         F.format_string("https://example.org/page/%08d", F.col("page_id") + 1),
         F.lit('">next</a> <a href="'),
@@ -203,7 +216,14 @@ def build_pages(rows: DataFrame) -> DataFrame:
         F.col("lang"),
         F.lit("</td></tr><tr><th>Page Id</th><td>"),
         F.col("page_id").cast("string"),
-        F.lit('</td></tr></table></aside>'
+        F.lit("</td></tr>"),
+        F.when(
+            F.col("fact").isNotNull(),
+            F.concat(F.lit("<tr><th>"), F.col("fact.pred_words"),
+                     F.lit("</th><td>"), F.col("fact.obj_surface"),
+                     F.lit("</td></tr>")),
+        ).otherwise(F.lit("")),
+        F.lit('</table></aside>'
               '<div class="ads">Buy now! Limited offer!</div><article><p>'),
         F.regexp_replace(F.col("text"), r"(?<=[.!?]) ", "</p><p>"),
         F.lit("</p></article><footer>&copy; 2026 example.org</footer></body></html>"),

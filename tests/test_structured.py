@@ -61,8 +61,10 @@ def test_synth_corpus_structured_channels(spark, corpus):
     pages = corpus["pages"]
     n = pages.count()
 
+    n_en = pages.filter(F.col("lang") == "en").count()
     tri = structured.jsonld_triples(pages).cache()
-    assert tri.count() == 2 * n  # name + inLanguage per page (@keys dropped)
+    # name + inLanguage per page, plus 'about' on en pages (planted fact)
+    assert tri.count() == 2 * n + n_en
     # subject defaults to @id, which synth sets to the page url
     assert tri.filter(F.col("subj") != F.col("url")).count() == 0
     langs = structured.jsonld_triples(pages).filter(F.col("pred") == "inLanguage")
@@ -76,7 +78,10 @@ def test_synth_corpus_structured_channels(spark, corpus):
     facts = structured.infobox_facts(pages)
     by_key = {r["key"]: r["n"] for r in
               facts.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
-    assert by_key == {"page_language": n, "page_id": n}
+    assert by_key.pop("page_language") == n
+    assert by_key.pop("page_id") == n
+    # the planted predicate rows: one per en page, keys are ontology labels
+    assert sum(by_key.values()) == n_en
 
     # invariant: re-extraction over the enriched html is byte-identical
     re_extracted = extract_pages(pages.select("url", "warc_ts", "html", "lang", "text"))
@@ -87,3 +92,23 @@ def test_synth_corpus_structured_channels(spark, corpus):
         .count()
     )
     assert diff == 0
+
+
+def test_structured_triples_are_gold_subset(spark, corpus):
+    """The fused channel (subject from JSON-LD 'about', predicate/object
+    from the infobox, both linked through the alias dictionary) recovers
+    exactly one gold triple per en page — precision 1.0 with zero model
+    involvement."""
+    pages = corpus["pages"]
+    n_en = pages.filter(F.col("lang") == "en").count()
+    tri = structured.structured_triples(
+        pages, corpus["aliases"], corpus["ontology"]
+    ).cache()
+    assert tri.count() == n_en
+    # every emitted triple is gold (left_anti against gold is empty)
+    non_gold = tri.join(
+        corpus["gold_triples"], ["url", "subj", "pred", "obj"], "left_anti"
+    ).count()
+    assert non_gold == 0
+    # contract columns match the text channel's to_triples output
+    assert set(tri.columns) == {"subj", "pred", "obj", "score", "url", "provenance"}
