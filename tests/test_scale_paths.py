@@ -137,3 +137,37 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bt_fact")
         spark.sql("DROP TABLE IF EXISTS bt_dim")
+
+
+def test_web_channel_plan_shapes(spark, small):
+    """The html-mining operators (weblinks, structured) must stay fully
+    JVM-side: zero Python evaluation nodes, broadcast dictionary joins,
+    and exactly the audited exchanges (1 for the edge distinct, 1 more for
+    the host rollup; the fused structured channel keeps the one url-keyed
+    join as its only non-broadcast exchange pair)."""
+    from predicate_finder_spark.operators.structured import structured_triples
+    from predicate_finder_spark.operators.weblinks import host_graph, outlink_edges
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+
+    edges = outlink_edges(small["pages"])
+    p_edges = plan_of(edges)
+    assert "BatchEvalPython" not in p_edges and "ArrowEvalPython" not in p_edges
+    assert len(re.findall(r"Exchange hashpartitioning", p_edges)) <= 1  # the distinct
+
+    p_hosts = plan_of(host_graph(edges))
+    assert "BatchEvalPython" not in p_hosts and "ArrowEvalPython" not in p_hosts
+    assert len(re.findall(r"Exchange hashpartitioning", p_hosts)) <= 2
+
+    st = structured_triples(small["pages"], small["aliases"], small["ontology"])
+    p_st = plan_of(st)
+    assert "BatchEvalPython" not in p_st and "ArrowEvalPython" not in p_st
+    assert "BroadcastHashJoin" in p_st  # ontology keys + alias dictionary
+    # every hash exchange must be dictionary-prep (ontology key / alias
+    # aggregations — dim-sized); the page-sized frames reach their joins
+    # broadcast or url-co-keyed, never via an extra shuffle
+    for ex in re.findall(r"Exchange hashpartitioning\(([a-z_]+)#", p_st):
+        assert ex in ("key", "predicate", "alias"), (ex, p_st)
