@@ -1326,6 +1326,35 @@ def q91_anchor_texts(spark, sf):
     return anchor_texts(_weblink_pages(spark, sf))
 
 
+def q92_latest_snapshot(spark, sf):
+    """Crawl-snapshot dedup (weblinks.latest_snapshot): every 3 consecutive
+    doc_ids are one page under three mirror spellings (case/port/fragment/
+    tracking variants); keep the newest snapshot per canonical URL with the
+    deterministic tie-break (ts desc, url asc, html md5 asc) — the ts is
+    built (doc_id % 2)-valued so ties genuinely exercise the url leg."""
+    from predicate_finder_spark.operators.weblinks import latest_snapshot
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    g = F.floor(F.col("doc_id") / 3).cast("long").cast("string")
+    v = F.pmod("doc_id", F.lit(3))
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://site.com/p"), g))
+        .when(v == 1, F.concat(F.lit("HTTP://SITE.COM:80/p"), g, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("http://site.com/p"), g, F.lit("?utm_source=x")))
+    )
+    pages = d.select(
+        url.alias("url"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.pmod("doc_id", F.lit(2)) * 3600
+        ).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html>doc"), sid, F.lit("</html>")), "UTF-8").alias("html"),
+    )
+    return latest_snapshot(pages).select(
+        "canon_url", "url", F.md5("html").alias("html_hash")
+    )
+
+
 def _structured_pages(spark, sf):
     """Deterministic crawl pages carrying the two structured-data channels
     (operators/structured.py): a schema.org JSON-LD block and an infobox
@@ -1485,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_jsonld_triples": q89_jsonld_triples,
         "q90_infobox_facts": q90_infobox_facts,
         "q91_anchor_texts": q91_anchor_texts,
+        "q92_latest_snapshot": q92_latest_snapshot,
     }
 
 
@@ -2806,6 +2836,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT {_canon('src_url')} AS src, {_canon('raw')} AS dst, anchor
         FROM x WHERE anchor <> ''
+    """
+    # q92: snapshot dedup — same canon chain, row_number twin
+    sqls["q92_latest_snapshot"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+                 CASE doc_id % 3
+                   WHEN 0 THEN 'http://site.com/p' || (doc_id // 3)
+                   WHEN 1 THEN 'HTTP://SITE.COM:80/p' || (doc_id // 3) || '#frag'
+                   ELSE 'http://site.com/p' || (doc_id // 3) || '?utm_source=x'
+                 END AS url,
+                 1700000000 + (doc_id % 2) * 3600 AS ts,
+                 '<html>doc' || doc_id || '</html>' AS html
+          FROM documents
+        ), c AS (
+          SELECT url, ts, {_canon('url')} AS canon_url, md5(html) AS h FROM m
+        ), r AS (
+          SELECT canon_url, url, h,
+                 row_number() OVER (PARTITION BY canon_url
+                   ORDER BY ts DESC, url ASC, h ASC) AS rn
+          FROM c
+        )
+        SELECT canon_url, url, h AS html_hash FROM r WHERE rn = 1
     """
     # q89/q90: the structured-data channels — JSON-LD via DuckDB's json
     # functions, infobox via the identical regex chain (the \s+ collapse

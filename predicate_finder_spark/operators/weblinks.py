@@ -19,7 +19,7 @@ groupBy — both on short URL/host keys, never on page bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from predicate_finder_spark.functions.urls import canonicalize_url, url_host
@@ -101,6 +101,39 @@ def anchor_texts(
         dst.alias("dst"),
         strip_markup(F.regexp_extract("__el", _A_TEXT_PATTERN, 1)).alias("anchor"),
     ).filter(F.col("anchor") != "")
+
+
+def latest_snapshot(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """One row per canonical URL: the newest crawl snapshot.
+
+    The same page arrives across crawls under mirror spellings and
+    re-fetches; training/KG pipelines want exactly one — the freshest.
+    Top-1 window over the canonical key, fully deterministic tie-break
+    (ts desc, raw url asc, html md5 asc), so reruns and retries pick the
+    identical survivor.  Adds ``canon_url``; original columns pass through.
+
+    At 100 TB: ONE shuffle on the short canonical-url key.  The window
+    never sorts whole pages — ordering keys are (ts, url, 16-byte md5);
+    the html bytes ride the exchange untouched exactly once, which any
+    keep-one-copy dedup must pay.
+    """
+    canon = canonicalize_url(F.col(url_col))
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col(ts_col).desc(),
+        F.col(url_col).asc(),
+        F.md5(F.col(html_col)).asc(),
+    )
+    return (
+        pages.withColumn("canon_url", canon)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def host_graph(edges: DataFrame) -> DataFrame:

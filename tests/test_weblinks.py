@@ -113,3 +113,26 @@ def test_host_graph_feeds_pagerank(spark, corpus):
     assert len(r) == 8  # example.org + 7 partner hosts
     # example.org receives every page's 'next' link mass -> top rank
     assert r["example.org"] == max(r.values())
+
+
+def test_latest_snapshot_fixture(spark):
+    rows = [
+        # one page, three crawl spellings; ts tie between the two newest
+        ("http://a.com/x?utm_source=t", 200, b"v-new-1"),
+        ("HTTP://A.COM:80/x#frag", 200, b"v-new-2"),
+        ("http://a.com/x", 100, b"v-old"),
+        # unrelated page
+        ("http://b.com/y", 50, b"w"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, h) for u, t, h in rows], "url string, ts long, html binary"
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "html")
+    out = weblinks.latest_snapshot(df)
+    got = {(r["canon_url"], r["url"]) for r in out.collect()}
+    # ts tie at 200 -> lexicographically smaller RAW url wins
+    assert got == {
+        ("http://a.com/x", "HTTP://A.COM:80/x#frag"),
+        ("http://b.com/y", "http://b.com/y"),
+    }
+    # original columns pass through
+    assert {"url", "warc_ts", "html", "canon_url"} == set(out.columns)
