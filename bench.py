@@ -226,6 +226,31 @@ def main() -> None:
         extras["curation_sec"] = round(best, 3)
         spark.catalog.clearCache()
 
+        # web/structured channels over the raw html bytes (round-4 surface):
+        # outlinks -> host graph, anchor mining, JSON-LD+infobox fusion —
+        # one timed pass over the full page corpus per channel family.
+        # Extra (not in `queries`) for the same comparability reason.
+        from predicate_finder_spark.operators.structured import structured_triples
+        from predicate_finder_spark.operators.weblinks import (
+            anchor_texts,
+            host_graph,
+            outlink_edges,
+        )
+
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            pages.persist()
+            pages.count()
+            t0 = time.time()
+            _force(host_graph(outlink_edges(pages)))
+            _force(anchor_texts(pages))
+            _force(structured_triples(pages, dicts["aliases"], dicts["ontology"]))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        extras["web_channels_sec"] = round(best, 3)
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "e2e_headline_sec",
