@@ -43,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="annotate vertices with PageRank entity salience")
     p.add_argument("--structured", action="store_true",
                    help="union JSON-LD/infobox structured-channel triples")
+    p.add_argument("--dedup-snapshots", action="store_true",
+                   help="keep only the newest crawl snapshot per canonical "
+                        "URL before extraction")
     args = p.parse_args(argv)
 
     from predicate_finder_spark.config import PipelineConfig
@@ -76,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=not args.no_resume,
         salt_buckets=args.salt_buckets,
         use_lsh_blocking=args.lsh,
+        dedup_snapshots=args.dedup_snapshots,
     )
     t0 = time.time()
     # precondition for the int-keyed KG join (candidate_predicates): the

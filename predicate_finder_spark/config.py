@@ -60,6 +60,12 @@ class PipelineConfig:
     salted_join: bool = False
     # language filter (reference DataExtract.py:76: FILTER(lang(?label)='en'))
     languages: tuple[str, ...] = ("en",)
+    # crawl-snapshot dedup pre-step (weblinks.latest_snapshot): keep only
+    # the newest snapshot per canonical URL before extraction — the
+    # standard multi-crawl hygiene for Common-Crawl-style inputs.  Part of
+    # config_hash: toggling it must invalidate stage checkpoints (the
+    # source-file fingerprint can't see a plan-level pre-step)
+    dedup_snapshots: bool = False
     # orchestration
     checkpoint_dir: str | None = None
     resume: bool = True

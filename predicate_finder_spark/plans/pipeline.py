@@ -148,6 +148,14 @@ def extract_triples(
             out = out.persist()
         return out
 
+    if cfg.dedup_snapshots:
+        # multi-crawl hygiene: one page per canonical URL (newest wins,
+        # deterministic tie-break) BEFORE any extraction work is spent on
+        # duplicate snapshots; one shuffle on the short canon key
+        from predicate_finder_spark.operators.weblinks import latest_snapshot
+
+        pages = latest_snapshot(pages).drop("canon_url")
+
     # the raw pages frame is fingerprinted (source files + sizes/mtimes) so a
     # new snapshot at the same path invalidates the whole chain
     extracted = stage(

@@ -136,3 +136,35 @@ def test_latest_snapshot_fixture(spark):
     }
     # original columns pass through
     assert {"url", "warc_ts", "html", "canon_url"} == set(out.columns)
+
+
+def test_pipeline_dedup_snapshots_restores_pr(spark, corpus):
+    """cfg.dedup_snapshots: pollute the corpus with an older junk snapshot
+    of every page under a mirror URL spelling (upper scheme, utm tag) —
+    the pre-step must keep exactly the original rows, so P/R stays 1.0.
+    Without the pre-step the junk snapshots would survive as distinct
+    pages and emit nothing for their urls."""
+    from predicate_finder_spark.config import PipelineConfig
+    from predicate_finder_spark.operators.evaluate import precision_recall
+    from predicate_finder_spark.plans.pipeline import extract_triples
+
+    pages = corpus["pages"]
+    mirrors = pages.select(
+        F.concat(
+            F.lit("HTTPS://"),
+            F.regexp_replace("url", "^https://", ""),
+            F.lit("?utm_source=m"),
+        ).alias("url"),
+        (F.col("warc_ts") - F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        F.encode(F.lit("<html><body>junk mirror</body></html>"), "UTF-8").alias("html"),
+        F.lit("junk mirror").alias("text"),
+        "lang",
+    )
+    polluted = pages.unionByName(mirrors)
+    tri = extract_triples(
+        spark, polluted, corpus["aliases"], corpus["kg_triples"],
+        corpus["ontology"], corpus["embeddings"],
+        PipelineConfig(dedup_snapshots=True),
+    )
+    pr = precision_recall(tri, corpus["gold_triples"])
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
