@@ -1355,6 +1355,22 @@ def q92_latest_snapshot(spark, sf):
     )
 
 
+def q93_bgp_triangles(spark, sf):
+    """Basic-graph-pattern query over the constructed KG (operators/
+    query.bgp_match): the SPARQL-core conjunctive fragment the reference
+    ships to dbpedia.org per row (query_dbpedia.py:14-60) evaluated on the
+    engine's OWN triples — here the classic triangle pattern
+    { ?a p ?b . ?b p ?c . ?a p ?c } over the q55 candidate set.  Each
+    pattern is a filtered projection of one scan (constant pred pushed
+    down); the greedy planner joins them on shared variables only — the
+    plan is three equi-joins, never a cartesian (tests/test_query.py)."""
+    from predicate_finder_spark.operators.query import bgp_match
+
+    tri = _q55_cands(spark, sf).select("subj", "pred", "obj")
+    p = "coOccursWith"
+    return bgp_match(tri, [("?a", p, "?b"), ("?b", p, "?c"), ("?a", p, "?c")])
+
+
 def _structured_pages(spark, sf):
     """Deterministic crawl pages carrying the two structured-data channels
     (operators/structured.py): a schema.org JSON-LD block and an infobox
@@ -1515,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_infobox_facts": q90_infobox_facts,
         "q91_anchor_texts": q91_anchor_texts,
         "q92_latest_snapshot": q92_latest_snapshot,
+        "q93_bgp_triangles": q93_bgp_triangles,
     }
 
 
@@ -2858,6 +2875,20 @@ def oracle_sql() -> dict[str, str]:
           FROM c
         )
         SELECT canon_url, url, h AS html_hash FROM r WHERE rn = 1
+    """
+    # q93: the BGP triangle is three self equi-joins over the DISTINCT
+    # (subj, obj) projection of the q55 candidate set (single predicate
+    # 'coOccursWith' after the blacklist; bgp_match emits SPARQL set
+    # semantics, so the oracle distincts both the edge set and the result)
+    sqls["q93_bgp_triangles"] = f"""
+        WITH cand AS MATERIALIZED ({_q55_sql}),
+        e AS MATERIALIZED (
+          SELECT DISTINCT subj, obj FROM cand WHERE pred = 'coOccursWith'
+        )
+        SELECT DISTINCT e1.subj AS a, e1.obj AS b, e2.obj AS c
+        FROM e e1
+        JOIN e e2 ON e2.subj = e1.obj
+        JOIN e e3 ON e3.subj = e1.subj AND e3.obj = e2.obj
     """
     # q89/q90: the structured-data channels — JSON-LD via DuckDB's json
     # functions, infobox via the identical regex chain (the \s+ collapse

@@ -1,0 +1,142 @@
+"""Basic-graph-pattern (BGP) queries over the constructed KG.
+
+The reference's read path is DBpedia's public SPARQL endpoint — every
+predicate lookup is a one-triple-pattern SPARQL query shipped over HTTPS
+(reference query_dbpedia.py:14-60 builds ``select ?p where { <s> ?p <o> }``
+strings).  This module closes the loop on the engine's OWN output: the
+SPARQL-core conjunctive fragment (a basic graph pattern — a set of
+(subj, pred, obj) patterns with shared ``?variables``) evaluated over the
+triples table the pipeline materialized, as a chain of Catalyst equi-joins.
+
+Scale shape (what .explain should show):
+  - each pattern is a filtered projection of the SAME triples scan —
+    constant slots become pushed-down parquet filters, variable slots
+    become projected columns, so a pattern like ("?x", "director", "?y")
+    reads only the matching row group bytes;
+  - patterns join pairwise on their shared variables (inner equi-join) —
+    Catalyst broadcasts the small side, AQE splits skewed bindings;
+  - join ORDER is chosen greedily: start from the most-constant (most
+    selective) pattern, always extend with a pattern that shares a bound
+    variable — the classic BGP heuristic that keeps intermediate bindings
+    small and avoids products;
+  - a pattern set that cannot be connected through shared variables is a
+    cartesian product of its components; that's almost always a query bug
+    at 10^12-triple scale, so it raises unless ``allow_product=True``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bgp_match"]
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _pattern_frame(
+    triples: DataFrame, pattern: tuple[str, str, str], cols: tuple[str, str, str]
+) -> tuple[DataFrame, list[str]]:
+    """One pattern -> (bindings frame, bound variable names).
+
+    Constant slots filter (pushed to the scan); variable slots project,
+    aliased to the variable name.  The same variable twice in ONE pattern
+    (e.g. ("?x", "knows", "?x")) is a row-local equality filter."""
+    if len(pattern) != 3:
+        raise ValueError(f"pattern must be (subj, pred, obj), got {pattern!r}")
+    df = triples
+    var_slot: dict[str, str] = {}
+    for slot, term in zip(cols, pattern):
+        if _is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"empty variable name in pattern {pattern!r}")
+            if name in var_slot:
+                df = df.filter(F.col(slot) == F.col(var_slot[name]))
+            else:
+                var_slot[name] = slot
+        else:
+            df = df.filter(F.col(slot) == F.lit(term))
+    names = list(var_slot)
+    sel = [F.col(var_slot[n]).alias(n) for n in names]
+    if not sel:
+        # all-constant pattern = existence test: a 0/1-row marker frame the
+        # planner semi-gates the result on (limit 1 — never a full scan
+        # materialization)
+        return df.limit(1).select(F.lit(1).alias("__exists")), []
+    return df.select(*sel), names
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    select: list[str] | None = None,
+    distinct: bool = True,
+    cols: tuple[str, str, str] = ("subj", "pred", "obj"),
+    allow_product: bool = False,
+) -> DataFrame:
+    """Evaluate a conjunctive graph pattern over ``triples``.
+
+    ``patterns``: list of (subj, pred, obj) terms; a term starting with
+    ``?`` is a variable, anything else matches literally.  Returns one row
+    per distinct variable binding (SPARQL set semantics; ``distinct=False``
+    keeps bag semantics), with one column per variable.
+
+    ``select``: variables to project (without the ``?``); default = every
+    variable, in first-appearance order.
+
+    ``allow_product``: permit disconnected pattern groups (cartesian
+    product of their bindings).  Off by default — see module docstring.
+    """
+    if not patterns:
+        raise ValueError("empty pattern list")
+    frames: list[tuple[DataFrame, list[str], int]] = []
+    order: list[str] = []  # variables in first-appearance order
+    n_const: list[int] = []
+    for i, pat in enumerate(patterns):
+        df, names = _pattern_frame(triples, pat, cols)
+        frames.append((df, names, i))
+        n_const.append(sum(1 for t in pat if not _is_var(t)))
+        for n in names:
+            if n not in order:
+                order.append(n)
+
+    # greedy join order: seed with the most-constant pattern, then always
+    # extend with the remaining pattern sharing the most bound variables
+    # (ties: more constants, then original index — deterministic)
+    remaining = list(range(len(frames)))
+    seed = max(remaining, key=lambda i: (n_const[i], -i))
+    remaining.remove(seed)
+    acc, bound, _ = frames[seed]
+    bound = set(bound)
+    while remaining:
+        scored = [
+            (len(bound & set(frames[i][1])), n_const[i], -i, i) for i in remaining
+        ]
+        shared, _, _, pick = max(scored)
+        remaining.remove(pick)
+        df, names, _ = frames[pick]
+        if shared == 0 and not (bound == set() or not names):
+            if not allow_product:
+                raise ValueError(
+                    f"pattern {patterns[pick]!r} shares no variable with the "
+                    "patterns joined so far — a cartesian product; pass "
+                    "allow_product=True if that is really the query"
+                )
+            acc = acc.crossJoin(df)
+        elif not names:
+            # existence gate: empty marker frame zeroes the result
+            acc = acc.crossJoin(F.broadcast(df)).drop("__exists")
+        else:
+            on = sorted(bound & set(names))
+            acc = acc.join(df, on=on) if on else acc.crossJoin(df)
+        bound |= set(names)
+
+    out_cols = select if select is not None else order
+    missing = [c for c in out_cols if c not in bound]
+    if missing:
+        raise ValueError(f"select variables {missing} not bound by any pattern")
+    acc = acc.select(*out_cols)
+    return acc.distinct() if distinct else acc

@@ -32,10 +32,12 @@ def get_spark(
     if shuffle_partitions is None:
         env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         if env_sp:
-            # scaling comparisons: on a real cluster the job config (and so
-            # the physical plan) is CONSTANT while executor count varies —
-            # pin the partition count across parallelism levels to mirror
-            # that (BENCH/scaling.py sets this for both legs)
+            # BENCH/scaling.py sets this per leg by the uniform rule
+            # 4 x cores (even python-UDF task waves; see the COALESCE
+            # comment below) — measured: pinning ONE count across legs
+            # slows the small leg ~18% on per-task overhead, which would
+            # inflate the efficiency ratio for free; the rule keeps both
+            # legs at their honest best
             shuffle_partitions = int(env_sp)
         else:
             n = _parse_local_threads(master)
@@ -46,8 +48,17 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        # SPARK_GRAFT_COALESCE=0 pins the exact shuffle partition count:
+        # for a known heavy python-UDF stage, a task count that is an even
+        # multiple of the core count removes wave-quantization idle (AQE's
+        # size-based coalescing produced e.g. 19 or 24 tasks on 16 cores —
+        # a 16+3 tail wave left cores ~28% idle through the scorer stage;
+        # measured in BENCH/stage_profile.py, see BENCH/BASELINE.md round 4)
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "false" if os.environ.get("SPARK_GRAFT_COALESCE") == "0" else "true",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow transfer for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,156 @@
+"""BGP matcher (operators/query.py) vs a brute-force python evaluator."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from predicate_finder_spark.operators.query import bgp_match
+
+TRIPLES = [
+    ("alice", "knows", "bob"),
+    ("alice", "knows", "carol"),
+    ("bob", "knows", "carol"),
+    ("carol", "knows", "alice"),
+    ("alice", "works_at", "acme"),
+    ("bob", "works_at", "acme"),
+    ("carol", "works_at", "globex"),
+    ("acme", "located_in", "springfield"),
+    ("globex", "located_in", "shelbyville"),
+    ("dave", "knows", "dave"),
+]
+
+
+def _brute(patterns, select=None, distinct=True):
+    """Naive BGP evaluation: try every triple for every pattern slot."""
+    results = []
+    for combo in itertools.product(TRIPLES, repeat=len(patterns)):
+        env: dict[str, str] = {}
+        ok = True
+        for (s, p, o), triple in zip(patterns, combo):
+            for term, val in zip((s, p, o), triple):
+                if term.startswith("?"):
+                    name = term[1:]
+                    if env.get(name, val) != val:
+                        ok = False
+                        break
+                    env[name] = val
+                elif term != val:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            order = []
+            for pat in patterns:
+                for term in pat:
+                    if term.startswith("?") and term[1:] not in order:
+                        order.append(term[1:])
+            keys = select if select is not None else order
+            results.append(tuple(env[k] for k in keys))
+    return set(results) if distinct else sorted(results)
+
+
+@pytest.fixture(scope="module")
+def triples_df(spark):
+    return spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"])
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_single_pattern_constant_pred(spark, triples_df):
+    out = bgp_match(triples_df, [("?x", "works_at", "?y")])
+    assert _rows(out) == _brute([("?x", "works_at", "?y")])
+
+
+def test_two_hop_chain(spark, triples_df):
+    pats = [("?p", "works_at", "?c"), ("?c", "located_in", "?t")]
+    out = bgp_match(triples_df, pats)
+    assert _rows(out) == _brute(pats)
+    assert out.columns == ["p", "c", "t"]
+
+
+def test_three_pattern_star_and_select(spark, triples_df):
+    pats = [
+        ("?a", "knows", "?b"),
+        ("?a", "works_at", "?c"),
+        ("?b", "works_at", "?c"),
+    ]
+    out = bgp_match(triples_df, pats, select=["a", "b"])
+    assert _rows(out) == _brute(pats, select=["a", "b"])
+
+
+def test_same_variable_twice_in_one_pattern(spark, triples_df):
+    pats = [("?x", "knows", "?x")]
+    out = bgp_match(triples_df, pats)
+    assert _rows(out) == {("dave",)}
+
+
+def test_all_constant_pattern_gates_existence(spark, triples_df):
+    hit = bgp_match(
+        triples_df, [("?x", "works_at", "acme"), ("acme", "located_in", "springfield")]
+    )
+    assert _rows(hit) == {("alice",), ("bob",)}
+    miss = bgp_match(
+        triples_df, [("?x", "works_at", "acme"), ("acme", "located_in", "shelbyville")]
+    )
+    assert miss.count() == 0
+
+
+def test_disconnected_patterns_refused_then_allowed(spark, triples_df):
+    pats = [("?x", "located_in", "?y"), ("?a", "knows", "carol")]
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_match(triples_df, pats)
+    out = bgp_match(triples_df, pats, allow_product=True)
+    assert _rows(out) == _brute(pats)
+
+
+def test_bag_semantics(spark, triples_df):
+    # ?who knows someone who works at acme: alice knows bob(acme) and
+    # carol(globex) -> bag keeps one row per binding of the JOIN, distinct
+    # collapses equal projections
+    pats = [("?who", "knows", "?other"), ("?other", "works_at", "acme")]
+    bag = bgp_match(triples_df, pats, select=["who"], distinct=False)
+    st = bgp_match(triples_df, pats, select=["who"])
+    assert sorted(r[0] for r in bag.collect()) == sorted(
+        t[0] for t in _brute(pats, select=["who"], distinct=False)
+    )
+    assert _rows(st) == _brute(pats, select=["who"])
+
+
+def test_select_unbound_variable_raises(spark, triples_df):
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_match(triples_df, [("?x", "knows", "?y")], select=["z"])
+
+
+def test_join_order_seeds_most_selective(spark, triples_df):
+    # regardless of pattern list order, results are identical (the greedy
+    # planner is an optimization, never a semantics change)
+    pats = [("?p", "works_at", "?c"), ("?c", "located_in", "?t")]
+    out_fwd = bgp_match(triples_df, pats)
+    out_rev = bgp_match(triples_df, list(reversed(pats)), select=["p", "c", "t"])
+    assert _rows(out_fwd) == _rows(out_rev)
+
+
+def test_custom_columns(spark, triples_df):
+    edges = triples_df.selectExpr(
+        "subj as src", "pred as pred", "obj as dst"
+    )
+    out = bgp_match(
+        edges, [("?x", "located_in", "?y")], cols=("src", "pred", "dst")
+    )
+    assert _rows(out) == _brute([("?x", "located_in", "?y")])
+
+
+def test_no_cartesian_in_plan(spark, triples_df):
+    """Connected BGPs must compile to equi-joins only."""
+    pats = [
+        ("?a", "knows", "?b"),
+        ("?b", "works_at", "?c"),
+        ("?c", "located_in", "?t"),
+    ]
+    plan = bgp_match(triples_df, pats)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
