@@ -1371,6 +1371,19 @@ def q93_bgp_triangles(spark, sf):
     return bgp_match(tri, [("?a", p, "?b"), ("?b", p, "?c"), ("?a", p, "?c")])
 
 
+def q94_reachability(spark, sf):
+    """Bounded property-path query pred+ (operators/query.transitive_pairs):
+    all entity pairs within 3 coOccursWith hops on the q55 candidate graph.
+    Pointer doubling — reach(<=2h) = reach(<=h) composed with itself — so
+    the hop bound costs O(log k) self equi-joins + distincts, never a
+    per-hop BFS; the exact non-power-of-two bound comes from composing the
+    binary digits of max_hops (module docstring)."""
+    from predicate_finder_spark.operators.query import transitive_pairs
+
+    tri = _q55_cands(spark, sf).select("subj", "pred", "obj")
+    return transitive_pairs(tri, "coOccursWith", max_hops=3)
+
+
 def _structured_pages(spark, sf):
     """Deterministic crawl pages carrying the two structured-data channels
     (operators/structured.py): a schema.org JSON-LD block and an infobox
@@ -1532,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_anchor_texts": q91_anchor_texts,
         "q92_latest_snapshot": q92_latest_snapshot,
         "q93_bgp_triangles": q93_bgp_triangles,
+        "q94_reachability": q94_reachability,
     }
 
 
@@ -2889,6 +2903,24 @@ def oracle_sql() -> dict[str, str]:
         FROM e e1
         JOIN e e2 ON e2.subj = e1.obj
         JOIN e e3 ON e3.subj = e1.subj AND e3.obj = e2.obj
+    """
+    # q94: 3-hop bounded reachability — the oracle unrolls it as a
+    # recursive CTE with a hop counter (terminates on cycles because the
+    # (src, dst, hops) tuple set is finite under the bound)
+    sqls["q94_reachability"] = f"""
+        WITH RECURSIVE cand AS MATERIALIZED ({_q55_sql}),
+        e AS MATERIALIZED (
+          SELECT DISTINCT subj AS src, obj AS dst FROM cand
+          WHERE pred = 'coOccursWith'
+        ),
+        reach(src, dst, hops) AS (
+          SELECT src, dst, 1 FROM e
+          UNION
+          SELECT r.src, e.dst, r.hops + 1
+          FROM reach r JOIN e ON e.src = r.dst
+          WHERE r.hops < 3
+        )
+        SELECT DISTINCT src, dst FROM reach
     """
     # q89/q90: the structured-data channels — JSON-LD via DuckDB's json
     # functions, infobox via the identical regex chain (the \s+ collapse

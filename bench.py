@@ -152,6 +152,25 @@ def main() -> None:
         n = tri.count()
         return time.time() - t0, tri, n
 
+    # even-wave task sizing for the flagship window (engine task-sizing
+    # policy, BENCH/stage_profile.py round 4): the scorer stage's python-
+    # UDF tasks must land in even waves — AQE's size-based coalescing gave
+    # 19/24 tasks on 16 cores (a 16+3 tail wave, cores ~28% idle), so run
+    # the heavy window at exactly 4 x cores partitions with coalescing
+    # off, then restore the session defaults for the rest of the suite
+    # ... but ONLY above ~200k pages: measured at 20k pages / local[32],
+    # 128 coalescing-off partitions cost 3.5x (4.6 s -> 15.9 s) — per-task
+    # overhead dominates second-scale stages, and there AQE's coalescing
+    # is the right call.  Task sizing follows data size, like production.
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions")
+    co_before = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    even_waves = n_rows >= 200_000
+    if even_waves:
+        if not sp:  # explicit SPARK_GRAFT_SHUFFLE_PARTITIONS wins (scaling.py)
+            spark.conf.set("spark.sql.shuffle.partitions", str(4 * cpus))
+        if os.environ.get("SPARK_GRAFT_COALESCE") != "1":
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
     # best-of-2: the sandbox host has external CPU noise; the driver grades
     # throughput, so report the cleaner run
     dt1, _, _ = run_pipeline()
@@ -159,6 +178,8 @@ def main() -> None:
     triples = triples.cache()
     n_triples = triples.count()
     dt = min(dt1, dt2)
+    spark.conf.set("spark.sql.shuffle.partitions", sp_before)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", co_before)
     timings["kg_pipeline"] = round(dt, 3)
     extras["pages"] = n_rows
     extras["triples"] = n_triples

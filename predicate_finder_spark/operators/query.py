@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_match"]
+__all__ = ["bgp_match", "transitive_pairs"]
 
 
 def _is_var(term: str) -> bool:
@@ -69,6 +69,58 @@ def _pattern_frame(
     return df.select(*sel), names
 
 
+def transitive_pairs(
+    triples: DataFrame,
+    pred: str,
+    max_hops: int,
+    cols: tuple[str, str, str] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """SPARQL property-path ``pred+`` bounded at ``max_hops``: every
+    (src, dst) pair connected by 1..max_hops edges of ``pred``.
+
+    Pointer doubling, not per-hop BFS: round i holds all pairs within
+    2^i hops (reach_2k = reach_k UNION reach_k JOIN reach_k), so a
+    k-hop bound costs ceil(log2 k) self equi-join + distinct rounds —
+    the same O(log diameter) shape as graph.resolve_chains /
+    connected_components, and the only shuffles are on the join key.
+    State is localCheckpointed per round to keep lineage flat.
+
+    The bound is EXACT for any max_hops, not just powers of two: doubling
+    builds levels L_i = reach(<= 2^i), and the result composes the levels
+    picked by max_hops' binary digits (reach(<=a) composed with
+    reach(<=b) = both unions plus their join = reach(<=a+b))."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    s, p, o = cols
+
+    def compose(x: DataFrame, y: DataFrame) -> DataFrame:
+        xy = (
+            x.alias("a")
+            .join(y.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        return (
+            x.unionByName(y).unionByName(xy).distinct().localCheckpoint(eager=True)
+        )
+
+    level = (
+        triples.filter(F.col(p) == F.lit(pred))
+        .select(F.col(s).alias("src"), F.col(o).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )  # reach(<= 1)
+    span = 1
+    acc = level if max_hops & 1 else None
+    remaining = max_hops >> 1
+    while remaining:
+        level = compose(level, level)  # reach(<= 2*span)
+        span *= 2
+        if remaining & 1:
+            acc = level if acc is None else compose(acc, level)
+        remaining >>= 1
+    return acc
+
+
 def bgp_match(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
@@ -76,6 +128,8 @@ def bgp_match(
     distinct: bool = True,
     cols: tuple[str, str, str] = ("subj", "pred", "obj"),
     allow_product: bool = False,
+    optional: list[tuple[str, str, str]] | None = None,
+    where=None,
 ) -> DataFrame:
     """Evaluate a conjunctive graph pattern over ``triples``.
 
@@ -89,6 +143,16 @@ def bgp_match(
 
     ``allow_product``: permit disconnected pattern groups (cartesian
     product of their bindings).  Off by default — see module docstring.
+
+    ``optional``: SPARQL OPTIONAL — each pattern left-joins the required
+    bindings on its shared variables; rows without a match keep NULL in
+    the optional-only variables.  Every optional pattern must share at
+    least one variable with the required group (an unanchored OPTIONAL is
+    a product).
+
+    ``where``: SPARQL FILTER — a pyspark Column or SQL string over the
+    variable columns, applied after optionals and BEFORE projection, so
+    it may reference variables that are not selected.
     """
     if not patterns:
         raise ValueError("empty pattern list")
@@ -133,6 +197,25 @@ def bgp_match(
             on = sorted(bound & set(names))
             acc = acc.join(df, on=on) if on else acc.crossJoin(df)
         bound |= set(names)
+
+    for pat in optional or []:
+        df, names, = _pattern_frame(triples, pat, cols)[:2]
+        if not names:
+            raise ValueError(f"all-constant OPTIONAL pattern {pat!r} is meaningless")
+        on = sorted(bound & set(names))
+        if not on:
+            raise ValueError(
+                f"OPTIONAL pattern {pat!r} shares no variable with the "
+                "required patterns — an unanchored optional is a product"
+            )
+        acc = acc.join(df, on=on, how="left")
+        for n in names:
+            if n not in order:
+                order.append(n)
+        bound |= set(names)
+
+    if where is not None:
+        acc = acc.filter(F.expr(where) if isinstance(where, str) else where)
 
     out_cols = select if select is not None else order
     missing = [c for c in out_cols if c not in bound]

@@ -145,6 +145,83 @@ def test_custom_columns(spark, triples_df):
     assert _rows(out) == _brute([("?x", "located_in", "?y")])
 
 
+def test_optional_pattern_left_joins(spark, triples_df):
+    # every worker, plus where their employer is located IF known
+    out = bgp_match(
+        triples_df,
+        [("?p", "works_at", "?c")],
+        optional=[("?c", "located_in", "?t")],
+    )
+    rows = _rows(out)
+    assert ("alice", "acme", "springfield") in rows
+    assert ("carol", "globex", "shelbyville") in rows
+    # now an optional that misses: nobody locates 'acme' in 'nowhere'
+    out2 = bgp_match(
+        triples_df,
+        [("?p", "works_at", "?c")],
+        optional=[("?c", "knows", "?z")],  # companies know nobody
+    )
+    assert all(r[2] is None for r in out2.collect())
+    assert out2.count() == 3
+
+
+def test_optional_must_anchor(spark, triples_df):
+    with pytest.raises(ValueError, match="unanchored"):
+        bgp_match(
+            triples_df, [("?p", "works_at", "?c")],
+            optional=[("?x", "located_in", "?y")],
+        )
+
+
+def test_where_filter(spark, triples_df):
+    out = bgp_match(
+        triples_df,
+        [("?p", "works_at", "?c"), ("?c", "located_in", "?t")],
+        select=["p"],
+        where="t = 'springfield'",
+    )
+    assert _rows(out) == {("alice",), ("bob",)}
+
+
+def _py_reach(edges, max_hops):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    out = set()
+    for start in adj:
+        frontier = {start}
+        for _ in range(max_hops):
+            frontier = set().union(*(adj.get(x, set()) for x in frontier)) if frontier else set()
+            out |= {(start, d) for d in frontier}
+    return out
+
+
+@pytest.mark.parametrize("max_hops", [1, 2, 3, 4, 5])
+def test_transitive_pairs_exact_bound(spark, max_hops):
+    from predicate_finder_spark.operators.query import transitive_pairs
+
+    # a 6-chain plus a cycle and a branch — lengths beyond the bound must
+    # NOT appear (the binary-decomposition bound is exact, not power-of-2)
+    edges = [
+        ("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n4", "n5"), ("n5", "n6"),
+        ("c1", "c2"), ("c2", "c1"),
+        ("n2", "b1"),
+    ]
+    df = spark.createDataFrame(
+        [(s, "next", o) for s, o in edges], ["subj", "pred", "obj"]
+    )
+    got = _rows(transitive_pairs(df, "next", max_hops))
+    assert got == _py_reach(edges, max_hops)
+
+
+def test_transitive_pairs_filters_pred(spark, triples_df):
+    from predicate_finder_spark.operators.query import transitive_pairs
+
+    got = _rows(transitive_pairs(triples_df, "knows", 2))
+    knows = [(s, o) for s, p, o in TRIPLES if p == "knows"]
+    assert got == _py_reach(knows, 2)
+
+
 def test_no_cartesian_in_plan(spark, triples_df):
     """Connected BGPs must compile to equi-joins only."""
     pats = [
