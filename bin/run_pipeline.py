@@ -43,6 +43,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="annotate vertices with PageRank entity salience")
     p.add_argument("--structured", action="store_true",
                    help="union JSON-LD/infobox structured-channel triples")
+    p.add_argument("--ntriples", action="store_true",
+                   help="also dump the graph as N-Triples text (out/graph_nt)")
     p.add_argument("--dedup-snapshots", action="store_true",
                    help="keep only the newest crawl snapshot per canonical "
                         "URL before extraction")
@@ -113,6 +115,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     m_v = write_stage(vertices, f"{args.out}/vertices", "vertices", ch)
     m_e = write_stage(edges, f"{args.out}/edges", "edges", ch)
+    if args.ntriples:
+        from predicate_finder_spark.sources.rdf import write_ntriples
+
+        write_ntriples(
+            spark.read.parquet(f"{args.out}/triples").select("subj", "pred", "obj"),
+            f"{args.out}/graph_nt",
+        )
     metrics = {
         "wall_sec": round(time.time() - t0, 2),
         "triples": m_t["rows"], "vertices": m_v["rows"], "edges": m_e["rows"],

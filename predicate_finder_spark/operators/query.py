@@ -26,10 +26,12 @@ Scale shape (what .explain should show):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_match", "transitive_pairs"]
+__all__ = ["bgp_match", "transitive_pairs", "parse_sparql", "sparql_select"]
 
 
 def _is_var(term: str) -> bool:
@@ -37,16 +39,30 @@ def _is_var(term: str) -> bool:
 
 
 def _pattern_frame(
-    triples: DataFrame, pattern: tuple[str, str, str], cols: tuple[str, str, str]
+    triples: DataFrame, pattern: tuple[str, str, str], cols: tuple[str, str, str],
+    path_max_hops: int = 16,
 ) -> tuple[DataFrame, list[str]]:
     """One pattern -> (bindings frame, bound variable names).
 
     Constant slots filter (pushed to the scan); variable slots project,
     aliased to the variable name.  The same variable twice in ONE pattern
-    (e.g. ("?x", "knows", "?x")) is a row-local equality filter."""
+    (e.g. ("?x", "knows", "?x")) is a row-local equality filter.
+
+    A constant predicate ending in ``+`` is a SPARQL property path: the
+    pattern matches over :func:`transitive_pairs` (bounded at
+    ``path_max_hops``) instead of the raw edge set."""
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (subj, pred, obj), got {pattern!r}")
     df = triples
+    p_term = pattern[1]
+    if not _is_var(p_term) and p_term is not None and len(p_term) > 1 and p_term.endswith("+"):
+        base = p_term[:-1]
+        reach = transitive_pairs(triples, base, path_max_hops, cols).select(
+            F.col("src").alias(cols[0]),
+            F.lit(base).alias(cols[1]),
+            F.col("dst").alias(cols[2]),
+        )
+        return _pattern_frame(reach, (pattern[0], base, pattern[2]), cols)
     var_slot: dict[str, str] = {}
     for slot, term in zip(cols, pattern):
         if _is_var(term):
@@ -130,6 +146,7 @@ def bgp_match(
     allow_product: bool = False,
     optional: list[tuple[str, str, str]] | None = None,
     where=None,
+    path_max_hops: int = 16,
 ) -> DataFrame:
     """Evaluate a conjunctive graph pattern over ``triples``.
 
@@ -160,7 +177,7 @@ def bgp_match(
     order: list[str] = []  # variables in first-appearance order
     n_const: list[int] = []
     for i, pat in enumerate(patterns):
-        df, names = _pattern_frame(triples, pat, cols)
+        df, names = _pattern_frame(triples, pat, cols, path_max_hops)
         frames.append((df, names, i))
         n_const.append(sum(1 for t in pat if not _is_var(t)))
         for n in names:
@@ -199,7 +216,7 @@ def bgp_match(
         bound |= set(names)
 
     for pat in optional or []:
-        df, names, = _pattern_frame(triples, pat, cols)[:2]
+        df, names = _pattern_frame(triples, pat, cols, path_max_hops)
         if not names:
             raise ValueError(f"all-constant OPTIONAL pattern {pat!r} is meaningless")
         on = sorted(bound & set(names))
@@ -223,3 +240,157 @@ def bgp_match(
         raise ValueError(f"select variables {missing} not bound by any pattern")
     acc = acc.select(*out_cols)
     return acc.distinct() if distinct else acc
+
+
+# ---------------------------------------------------------------------------
+# SPARQL-subset front end
+# ---------------------------------------------------------------------------
+
+_SELECT_RE = re.compile(
+    r"^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<proj>\*|(?:\?\w+[\s,]*)+)"
+    r"\s*WHERE\s*\{(?P<body>.*)\}\s*(?:LIMIT\s+(?P<limit>\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TERM_RE = re.compile(
+    r"""\s*(?:(\?\w+)|<([^>]*)>|"([^"]*)"|'([^']*)'|([^\s.{}()]+))"""
+)
+
+
+def _read_term(body: str, pos: int) -> tuple[str, int]:
+    m = _TERM_RE.match(body, pos)
+    if not m:
+        raise ValueError(f"expected a term at ...{body[pos:pos + 40]!r}")
+    var_, iri, dq, sq, bare = m.groups()
+    return var_ or iri or dq or sq or bare, m.end()
+
+
+def _read_patterns(body: str, pos: int, stop: str) -> tuple[list, int]:
+    """Parse `s p o .` triples until ``stop`` ('}' or end); returns
+    (patterns, position AFTER the stop character)."""
+    pats = []
+    n = len(body)
+    while True:
+        while pos < n and body[pos].isspace():
+            pos += 1
+        if pos >= n:
+            if stop == "}":
+                raise ValueError("unterminated group: missing '}'")
+            return pats, pos
+        if body[pos] == stop:
+            return pats, pos + 1
+        s, pos = _read_term(body, pos)
+        p, pos = _read_term(body, pos)
+        o, pos = _read_term(body, pos)
+        pats.append((s, p, o))
+        while pos < n and body[pos].isspace():
+            pos += 1
+        if pos < n and body[pos] == ".":
+            pos += 1
+    return pats, pos
+
+
+def parse_sparql(query: str) -> dict:
+    """Parse the SPARQL-subset this engine executes: ``SELECT [DISTINCT]
+    ?vars|* WHERE { triples . OPTIONAL { ... } FILTER (...) } [LIMIT n]``.
+
+    Terms: ``?var``, ``<iri>`` (angle brackets stripped — the KG stores
+    plain strings), quoted literals, or bare tokens; a predicate written
+    ``p+`` is the bounded property path (:func:`transitive_pairs`).
+    FILTER expressions are translated to Spark SQL (``?x`` -> column
+    ``x``, ``&&``/``||`` -> AND/OR) and handed to ``F.expr`` — equality,
+    comparison, and string functions that exist in both dialects work.
+
+    Returns the kwargs dict for :func:`bgp_match` plus ``limit``."""
+    m = _SELECT_RE.match(query)
+    if not m:
+        raise ValueError(
+            "unsupported query shape: expected SELECT [DISTINCT] ?vars|* "
+            "WHERE { ... } [LIMIT n]"
+        )
+    proj = m.group("proj").strip()
+    select = None if proj == "*" else [
+        v[1:] for v in re.findall(r"\?\w+", proj)
+    ]
+    body = m.group("body")
+    patterns: list = []
+    optional: list = []
+    filters: list[str] = []
+    pos, n = 0, len(body)
+    kw = re.compile(r"(OPTIONAL|FILTER)\b", re.IGNORECASE)
+    while pos < n:
+        while pos < n and (body[pos].isspace() or body[pos] == "."):
+            pos += 1
+        if pos >= n:
+            break
+        km = kw.match(body, pos)
+        if km and km.group(1).upper() == "OPTIONAL":
+            pos = km.end()
+            while pos < n and body[pos].isspace():
+                pos += 1
+            if pos >= n or body[pos] != "{":
+                raise ValueError("OPTIONAL must be followed by { ... }")
+            grp, pos = _read_patterns(body, pos + 1, "}")
+            optional.extend(grp)
+        elif km and km.group(1).upper() == "FILTER":
+            pos = km.end()
+            while pos < n and body[pos].isspace():
+                pos += 1
+            if pos >= n or body[pos] != "(":
+                raise ValueError("FILTER must be followed by ( ... )")
+            depth, start = 1, pos + 1
+            pos += 1
+            while pos < n and depth:
+                if body[pos] == "(":
+                    depth += 1
+                elif body[pos] == ")":
+                    depth -= 1
+                pos += 1
+            if depth:
+                raise ValueError("unbalanced FILTER parentheses")
+            expr = body[start:pos - 1]
+            expr = re.sub(r"\?(\w+)", r"\1", expr)
+            expr = expr.replace("&&", " AND ").replace("||", " OR ")
+            filters.append(f"({expr})")
+        else:
+            s, pos = _read_term(body, pos)
+            p, pos = _read_term(body, pos)
+            o, pos = _read_term(body, pos)
+            patterns.append((s, p, o))
+    return {
+        "patterns": patterns,
+        "optional": optional or None,
+        "where": " AND ".join(filters) if filters else None,
+        "select": select,
+        "distinct": bool(m.group("distinct")) or select is None,
+        "limit": int(m.group("limit")) if m.group("limit") else None,
+    }
+
+
+def sparql_select(
+    triples: DataFrame,
+    query: str,
+    cols: tuple[str, str, str] = ("subj", "pred", "obj"),
+    path_max_hops: int = 16,
+    allow_product: bool = False,
+) -> DataFrame:
+    """Run a SPARQL-subset SELECT (see :func:`parse_sparql`) over the
+    triples table — the string front end to :func:`bgp_match`, giving the
+    engine the same read interface the reference consumed remotely.
+
+    Note: plain SELECT (no DISTINCT) is executed with set semantics
+    anyway when the projection is ``*`` (bag duplicates of full bindings
+    are join artifacts, not information); an explicit variable list
+    without DISTINCT keeps bag semantics like SPARQL."""
+    q = parse_sparql(query)
+    out = bgp_match(
+        triples,
+        q["patterns"],
+        select=q["select"],
+        distinct=q["distinct"],
+        cols=cols,
+        allow_product=allow_product,
+        optional=q["optional"],
+        where=q["where"],
+        path_max_hops=path_max_hops,
+    )
+    return out.limit(q["limit"]) if q["limit"] else out

@@ -222,6 +222,94 @@ def test_transitive_pairs_filters_pred(spark, triples_df):
     assert got == _py_reach(knows, 2)
 
 
+def test_path_pattern_in_bgp(spark, triples_df):
+    # everyone transitively known (<=16 hops) who works somewhere
+    out = bgp_match(
+        triples_df,
+        [("alice", "knows+", "?x"), ("?x", "works_at", "?c")],
+    )
+    reach = _py_reach(
+        [(s, o) for s, p, o in TRIPLES if p == "knows"], 16
+    )
+    expect = {
+        (x, c)
+        for (a, x) in reach
+        if a == "alice"
+        for s, p, c in TRIPLES
+        if p == "works_at" and s == x
+    }
+    assert _rows(out) == expect
+
+
+def test_sparql_select_basic(spark, triples_df):
+    from predicate_finder_spark.operators.query import sparql_select
+
+    out = sparql_select(
+        triples_df,
+        'SELECT ?p ?t WHERE { ?p <works_at> ?c . ?c <located_in> ?t . }',
+    )
+    pats = [("?p", "works_at", "?c"), ("?c", "located_in", "?t")]
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == _brute(pats, select=["p", "t"], distinct=False)
+    assert out.columns == ["p", "t"]
+
+
+def test_sparql_select_distinct_filter_limit(spark, triples_df):
+    from predicate_finder_spark.operators.query import sparql_select
+
+    out = sparql_select(
+        triples_df,
+        """SELECT DISTINCT ?p WHERE {
+             ?p <works_at> ?c . ?c <located_in> ?t .
+             FILTER (?t = 'springfield' && ?p != 'bob')
+           } LIMIT 5""",
+    )
+    assert _rows(out) == {("alice",)}
+
+
+def test_sparql_optional_and_star(spark, triples_df):
+    from predicate_finder_spark.operators.query import sparql_select
+
+    out = sparql_select(
+        triples_df,
+        "SELECT * WHERE { ?p works_at ?c . OPTIONAL { ?c located_in ?t . } }",
+    )
+    rows = _rows(out)
+    assert ("alice", "acme", "springfield") in rows
+    assert out.columns == ["p", "c", "t"]
+
+
+def test_sparql_path_pattern(spark, triples_df):
+    from predicate_finder_spark.operators.query import sparql_select
+
+    out = sparql_select(
+        triples_df,
+        "SELECT DISTINCT ?x WHERE { alice knows+ ?x . }",
+    )
+    reach = _py_reach([(s, o) for s, p, o in TRIPLES if p == "knows"], 16)
+    assert _rows(out) == {(x,) for a, x in reach if a == "alice"}
+
+
+def test_sparql_rejects_unsupported(spark, triples_df):
+    from predicate_finder_spark.operators.query import parse_sparql
+
+    with pytest.raises(ValueError, match="unsupported query shape"):
+        parse_sparql("ASK { ?x ?p ?y }")
+    with pytest.raises(ValueError, match="OPTIONAL must be followed"):
+        parse_sparql("SELECT ?x WHERE { ?x a ?y . OPTIONAL ?y b ?z }")
+
+
+def test_sparql_reference_lookup_shape(spark, triples_df):
+    """The reference's literal query shape (query_dbpedia.py): all
+    predicates between two fixed entities."""
+    from predicate_finder_spark.operators.query import sparql_select
+
+    out = sparql_select(
+        triples_df, "SELECT ?pr WHERE { <alice> ?pr <bob> . }"
+    )
+    assert sorted(r[0] for r in out.collect()) == ["knows"]
+
+
 def test_no_cartesian_in_plan(spark, triples_df):
     """Connected BGPs must compile to equi-joins only."""
     pats = [
