@@ -2,15 +2,16 @@
 
 Media payloads are opaque ``binary`` columns travelling next to typed
 metadata structs; the decode/feature kernels run as Arrow-batched pandas
-UDFs over mapInPandas.  Two REAL stdlib decoders ship in-repo —
+UDFs over mapInPandas.  Three REAL stdlib decoders ship in-repo —
 :func:`decode_png` (signature + IHDR parse: width/height/bit-depth/
-color-type) and :func:`decode_wav` (``wave`` module: channels/rate/frames/
-duration + PCM RMS over a bounded frame prefix) — dispatched by magic
-bytes in :func:`stdlib_decode`.  Formats with no stdlib codec (JPEG, MP4,
-…) still fall to the deterministic md5 stand-in (``decode_fn=None`` +
-``strict=False``); ``strict=True`` raises NotImplementedError for them —
-the Spark-side schema, batching, and partition shape are identical either
-way.
+color-type), :func:`decode_wav` (``wave`` module: channels/rate/frames/
+duration + PCM RMS over a bounded frame prefix), and :func:`decode_jpeg`
+(SOF marker walk: width/height/precision/components for baseline AND
+progressive JPEGs) — dispatched by magic bytes in :func:`stdlib_decode`.
+Formats with no stdlib codec (MP4/video, …) still fall to the
+deterministic md5 stand-in (``decode_fn=None`` + ``strict=False``);
+``strict=True`` raises NotImplementedError for them — the Spark-side
+schema, batching, and partition shape are identical either way.
 """
 
 from __future__ import annotations
@@ -105,11 +106,57 @@ def wave_open(payload: bytes):
     return wave.open(io.BytesIO(payload), "rb")
 
 
+_JPEG_SOI = b"\xff\xd8"
+# SOF markers carrying frame dimensions: C0-CF minus the non-frame C4 (DHT),
+# C8 (JPG extension) and CC (DAC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def decode_jpeg(payload: bytes) -> list[float] | None:
+    """Real JPEG dimension decode, stdlib-only: walk the marker segments
+    from SOI to the first SOF frame header (JPEG/JFIF ISO 10918-1 B.2) and
+    read precision/height/width/components from it.  Handles the dominant
+    web cases — baseline SOF0 and progressive SOF2 — plus every other SOF
+    variant, since the frame-header layout is shared.  Returns
+    [kind=3, width, height, precision, n_components, progressive, 0, 0]
+    or None when the payload is not a JPEG / carries no frame header."""
+    if payload is None or len(payload) < 4 or not payload.startswith(_JPEG_SOI):
+        return None
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: standalone
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if i + 4 + 6 > n or seg_len < 8:
+                return None
+            precision = payload[i + 4]
+            height = int.from_bytes(payload[i + 5 : i + 7], "big")
+            width = int.from_bytes(payload[i + 7 : i + 9], "big")
+            n_comp = payload[i + 9]
+            return [3.0, float(width), float(height), float(precision),
+                    float(n_comp), 1.0 if marker == 0xC2 else 0.0, 0.0, 0.0]
+        i += 2 + seg_len
+    return None
+
+
 def stdlib_decode(payload: bytes) -> list[float] | None:
-    """Magic-byte dispatch over the in-repo stdlib decoders.  None means
-    'no codec for this format here' — extract_media_features then falls
-    back to the md5 stand-in (or raises under strict=True)."""
-    return decode_png(payload) or decode_wav(payload)
+    """Magic-byte dispatch over the in-repo stdlib decoders (PNG, WAV,
+    JPEG).  None means 'no codec for this format here' —
+    extract_media_features then falls back to the md5 stand-in (or raises
+    under strict=True)."""
+    return decode_png(payload) or decode_wav(payload) or decode_jpeg(payload)
 
 
 def extract_media_features(
@@ -138,7 +185,12 @@ def extract_media_features(
                 return list(out), custom_name
         out = stdlib_decode(payload)
         if out is not None:
-            return out, "png" if payload.startswith(_PNG_SIG) else "wav"
+            name = (
+                "png" if payload.startswith(_PNG_SIG)
+                else "jpeg" if payload.startswith(_JPEG_SOI)
+                else "wav"
+            )
+            return out, name
         if strict:
             raise NotImplementedError(
                 "no codec for this payload (first bytes "

@@ -40,7 +40,7 @@ def _is_var(term: str) -> bool:
 
 def _pattern_frame(
     triples: DataFrame, pattern: tuple[str, str, str], cols: tuple[str, str, str],
-    path_max_hops: int = 16,
+    path_max_hops: int | None = 16,
 ) -> tuple[DataFrame, list[str]]:
     """One pattern -> (bindings frame, bound variable names).
 
@@ -50,14 +50,29 @@ def _pattern_frame(
 
     A constant predicate ending in ``+`` is a SPARQL property path: the
     pattern matches over :func:`transitive_pairs` (bounded at
-    ``path_max_hops``) instead of the raw edge set."""
+    ``path_max_hops``; ``None`` = run the closure to its fixpoint) instead
+    of the raw edge set.  A predicate ending in ``*`` is the
+    reflexive-transitive closure — always evaluated to the fixpoint, with
+    the zero-length paths contributed by every node of the graph (subject
+    or object of ANY triple, the standard engine reading of SPARQL's
+    zero-hop semantics over the queried graph)."""
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (subj, pred, obj), got {pattern!r}")
     df = triples
     p_term = pattern[1]
-    if not _is_var(p_term) and p_term is not None and len(p_term) > 1 and p_term.endswith("+"):
-        base = p_term[:-1]
-        reach = transitive_pairs(triples, base, path_max_hops, cols).select(
+    if not _is_var(p_term) and p_term is not None and len(p_term) > 1 and p_term[-1] in "+*":
+        base, star = p_term[:-1], p_term.endswith("*")
+        reach = transitive_pairs(triples, base, None if star else path_max_hops, cols)
+        if star:
+            nodes = (
+                triples.select(F.col(cols[0]).alias("src"))
+                .unionByName(triples.select(F.col(cols[2]).alias("src")))
+                .distinct()
+            )
+            reach = reach.unionByName(
+                nodes.select("src", F.col("src").alias("dst"))
+            ).distinct()
+        reach = reach.select(
             F.col("src").alias(cols[0]),
             F.lit(base).alias(cols[1]),
             F.col("dst").alias(cols[2]),
@@ -88,11 +103,13 @@ def _pattern_frame(
 def transitive_pairs(
     triples: DataFrame,
     pred: str,
-    max_hops: int,
+    max_hops: int | None,
     cols: tuple[str, str, str] = ("subj", "pred", "obj"),
+    max_doubling: int = 40,
 ) -> DataFrame:
-    """SPARQL property-path ``pred+`` bounded at ``max_hops``: every
-    (src, dst) pair connected by 1..max_hops edges of ``pred``.
+    """SPARQL property-path ``pred+``: every (src, dst) pair connected by
+    1..max_hops edges of ``pred``; ``max_hops=None`` runs to the FIXPOINT
+    (the full transitive closure — unbounded ``pred+``/``pred*``).
 
     Pointer doubling, not per-hop BFS: round i holds all pairs within
     2^i hops (reach_2k = reach_k UNION reach_k JOIN reach_k), so a
@@ -104,9 +121,15 @@ def transitive_pairs(
     The bound is EXACT for any max_hops, not just powers of two: doubling
     builds levels L_i = reach(<= 2^i), and the result composes the levels
     picked by max_hops' binary digits (reach(<=a) composed with
-    reach(<=b) = both unions plus their join = reach(<=a+b))."""
-    if max_hops < 1:
-        raise ValueError("max_hops must be >= 1")
+    reach(<=b) = both unions plus their join = reach(<=a+b)).
+
+    The fixpoint run converges by the same order-independent digest the CC
+    / chain-resolution operators use (graph._state_digest: count + xor of
+    xxhash64 over the deduped pair set) — one tiny aggregate per doubling
+    round, O(log diameter) rounds total, ``max_doubling`` as the runaway
+    backstop (2^40 hops covers any real graph's diameter)."""
+    if max_hops is not None and max_hops < 1:
+        raise ValueError("max_hops must be >= 1 (or None for the fixpoint)")
     s, p, o = cols
 
     def compose(x: DataFrame, y: DataFrame) -> DataFrame:
@@ -125,6 +148,19 @@ def transitive_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )  # reach(<= 1)
+    if max_hops is None:
+        from .graph import _state_digest
+
+        digest = _state_digest(level)
+        for _ in range(max_doubling):
+            new_level = compose(level, level)  # reach(<= 2^i) -> reach(<= 2^(i+1))
+            new_digest = _state_digest(new_level)
+            if new_digest == digest:
+                return level
+            level, digest = new_level, new_digest
+        raise RuntimeError(
+            f"transitive closure did not converge in {max_doubling} doubling rounds"
+        )
     span = 1
     acc = level if max_hops & 1 else None
     remaining = max_hops >> 1
@@ -144,9 +180,9 @@ def bgp_match(
     distinct: bool = True,
     cols: tuple[str, str, str] = ("subj", "pred", "obj"),
     allow_product: bool = False,
-    optional: list[tuple[str, str, str]] | None = None,
+    optional: list | None = None,
     where=None,
-    path_max_hops: int = 16,
+    path_max_hops: int | None = 16,
 ) -> DataFrame:
     """Evaluate a conjunctive graph pattern over ``triples``.
 
@@ -161,11 +197,19 @@ def bgp_match(
     ``allow_product``: permit disconnected pattern groups (cartesian
     product of their bindings).  Off by default — see module docstring.
 
-    ``optional``: SPARQL OPTIONAL — each pattern left-joins the required
-    bindings on its shared variables; rows without a match keep NULL in
-    the optional-only variables.  Every optional pattern must share at
-    least one variable with the required group (an unanchored OPTIONAL is
-    a product).
+    ``optional``: SPARQL OPTIONAL — a list of optional GROUPS; each group
+    is a list of (s, p, o) patterns that matches AS A UNIT (a bare 3-tuple
+    element is shorthand for a single-pattern group).  The group's patterns
+    are joined together (seeded with the required bindings of the shared
+    variables, so patterns that connect only through required variables
+    stay product-free), then the whole group left-joins the required
+    bindings on the shared variables — so a group whose first
+    pattern matches but whose second doesn't leaves ALL the group's
+    optional-only variables NULL, per SPARQL's LeftJoin semantics (a
+    per-pattern left join would bind the first pattern's variables and NULL
+    only the rest — silently wrong).  Every group must share at least one
+    variable with the required patterns (an unanchored OPTIONAL is a
+    product).
 
     ``where``: SPARQL FILTER — a pyspark Column or SQL string over the
     variable columns, applied after optionals and BEFORE projection, so
@@ -215,16 +259,58 @@ def bgp_match(
             acc = acc.join(df, on=on) if on else acc.crossJoin(df)
         bound |= set(names)
 
-    for pat in optional or []:
-        df, names = _pattern_frame(triples, pat, cols, path_max_hops)
+    for grp in optional or []:
+        # bare 3-tuple of terms = single-pattern group (back-compat)
+        if (
+            isinstance(grp, tuple)
+            and len(grp) == 3
+            and all(isinstance(t, str) for t in grp)
+        ):
+            grp = [grp]
+        if not grp:
+            raise ValueError("empty OPTIONAL group")
+        gframes = [_pattern_frame(triples, pat, cols, path_max_hops) for pat in grp]
+        names = []
+        for _, ns in gframes:
+            for n_ in ns:
+                if n_ not in names:
+                    names.append(n_)
         if not names:
-            raise ValueError(f"all-constant OPTIONAL pattern {pat!r} is meaningless")
+            raise ValueError(f"all-constant OPTIONAL group {grp!r} is meaningless")
         on = sorted(bound & set(names))
         if not on:
             raise ValueError(
-                f"OPTIONAL pattern {pat!r} shares no variable with the "
+                f"OPTIONAL group {grp!r} shares no variable with the "
                 "required patterns — an unanchored optional is a product"
             )
+        if len(gframes) == 1:
+            df = gframes[0][0]
+        else:
+            # SPARQL algebra: LeftJoin(acc, eval(group)) — but eval'ing the
+            # group standalone can be a product when its patterns connect
+            # only THROUGH required variables.  Equivalent and product-free:
+            # seed the group join with the distinct required bindings of the
+            # shared variables, extend greedily (every extension must share
+            # a bound variable — through the seed if need be), then one left
+            # join of the result back onto acc.
+            gacc = acc.select(*on).distinct()
+            gbound = set(on)
+            gleft = list(range(len(gframes)))
+            while gleft:
+                scored = [
+                    (len(gbound & set(gframes[i][1])), -i, i) for i in gleft
+                ]
+                shared, _, pick = max(scored)
+                if shared == 0:
+                    raise ValueError(
+                        f"OPTIONAL group {grp!r} is internally disconnected "
+                        "(a product) even through the required variables"
+                    )
+                gleft.remove(pick)
+                gdf, gnames = gframes[pick]
+                gacc = gacc.join(gdf, on=sorted(gbound & set(gnames)))
+                gbound |= set(gnames)
+            df = gacc
         acc = acc.join(df, on=on, how="left")
         for n in names:
             if n not in order:
@@ -289,18 +375,55 @@ def _read_patterns(body: str, pos: int, stop: str) -> tuple[list, int]:
     return pats, pos
 
 
+def _translate_filter(expr: str) -> str:
+    """SPARQL FILTER expression -> Spark SQL: ``?x`` -> column ``x``,
+    ``&&``/``||`` -> AND/OR — substituting ONLY outside quoted string
+    literals, so a literal like ``'?foo'`` or ``'a && b'`` passes through
+    byte-identical (rewriting inside literals silently changes the
+    comparison value)."""
+    out: list[str] = []
+    i, n = 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n and expr[j] != ch:
+                j += 1
+            if j >= n:
+                raise ValueError(f"unterminated string literal in FILTER: {expr!r}")
+            out.append(expr[i : j + 1])
+            i = j + 1
+        else:
+            j = i
+            while j < n and expr[j] not in "'\"":
+                j += 1
+            seg = expr[i:j]
+            seg = re.sub(r"\?(\w+)", r"\1", seg)
+            seg = seg.replace("&&", " AND ").replace("||", " OR ")
+            out.append(seg)
+            i = j
+    return "".join(out)
+
+
 def parse_sparql(query: str) -> dict:
     """Parse the SPARQL-subset this engine executes: ``SELECT [DISTINCT]
-    ?vars|* WHERE { triples . OPTIONAL { ... } FILTER (...) } [LIMIT n]``.
+    ?vars|* WHERE { triples . OPTIONAL { ... } FILTER (...)
+    { ... } UNION { ... } } [LIMIT n]``.
 
     Terms: ``?var``, ``<iri>`` (angle brackets stripped — the KG stores
     plain strings), quoted literals, or bare tokens; a predicate written
-    ``p+`` is the bounded property path (:func:`transitive_pairs`).
-    FILTER expressions are translated to Spark SQL (``?x`` -> column
-    ``x``, ``&&``/``||`` -> AND/OR) and handed to ``F.expr`` — equality,
-    comparison, and string functions that exist in both dialects work.
+    ``p+`` is the bounded property path (:func:`transitive_pairs`) and
+    ``p*`` the unbounded reflexive-transitive closure.  FILTER expressions
+    are translated to Spark SQL (``?x`` -> column ``x``, ``&&``/``||`` ->
+    AND/OR, quoted literals untouched) and handed to ``F.expr`` —
+    equality, comparison, and string functions that exist in both dialects
+    work.  Each OPTIONAL group is kept together (it matches as a unit —
+    see :func:`bgp_match`).  One ``{...} UNION {...} [UNION {...}]`` chain
+    of plain-pattern groups is supported per query (a second chain or
+    nested OPTIONAL/FILTER inside a branch raises — documented subset).
 
-    Returns the kwargs dict for :func:`bgp_match` plus ``limit``."""
+    Returns the kwargs dict for :func:`bgp_match` plus ``limit`` and
+    ``union_groups``."""
     m = _SELECT_RE.match(query)
     if not m:
         raise ValueError(
@@ -315,22 +438,51 @@ def parse_sparql(query: str) -> dict:
     patterns: list = []
     optional: list = []
     filters: list[str] = []
+    union_groups: list[list] = []
     pos, n = 0, len(body)
-    kw = re.compile(r"(OPTIONAL|FILTER)\b", re.IGNORECASE)
+    kw = re.compile(r"(OPTIONAL|FILTER|UNION)\b", re.IGNORECASE)
     while pos < n:
         while pos < n and (body[pos].isspace() or body[pos] == "."):
             pos += 1
         if pos >= n:
             break
         km = kw.match(body, pos)
-        if km and km.group(1).upper() == "OPTIONAL":
+        if body[pos] == "{":
+            # group-graph-pattern: only meaningful here as a UNION chain
+            if union_groups:
+                raise ValueError(
+                    "only one UNION chain per query is supported"
+                )
+            grp, pos = _read_patterns(body, pos + 1, "}")
+            union_groups.append(grp)
+            while True:
+                while pos < n and body[pos].isspace():
+                    pos += 1
+                um = kw.match(body, pos)
+                if not (um and um.group(1).upper() == "UNION"):
+                    break
+                pos = um.end()
+                while pos < n and body[pos].isspace():
+                    pos += 1
+                if pos >= n or body[pos] != "{":
+                    raise ValueError("UNION must be followed by { ... }")
+                grp, pos = _read_patterns(body, pos + 1, "}")
+                union_groups.append(grp)
+            if len(union_groups) < 2:
+                raise ValueError(
+                    "bare { ... } group without UNION — write the patterns "
+                    "at the top level instead"
+                )
+        elif km and km.group(1).upper() == "OPTIONAL":
             pos = km.end()
             while pos < n and body[pos].isspace():
                 pos += 1
             if pos >= n or body[pos] != "{":
                 raise ValueError("OPTIONAL must be followed by { ... }")
             grp, pos = _read_patterns(body, pos + 1, "}")
-            optional.extend(grp)
+            if not grp:
+                raise ValueError("empty OPTIONAL group")
+            optional.append(grp)
         elif km and km.group(1).upper() == "FILTER":
             pos = km.end()
             while pos < n and body[pos].isspace():
@@ -347,10 +499,7 @@ def parse_sparql(query: str) -> dict:
                 pos += 1
             if depth:
                 raise ValueError("unbalanced FILTER parentheses")
-            expr = body[start:pos - 1]
-            expr = re.sub(r"\?(\w+)", r"\1", expr)
-            expr = expr.replace("&&", " AND ").replace("||", " OR ")
-            filters.append(f"({expr})")
+            filters.append(f"({_translate_filter(body[start:pos - 1])})")
         else:
             s, pos = _read_term(body, pos)
             p, pos = _read_term(body, pos)
@@ -363,6 +512,7 @@ def parse_sparql(query: str) -> dict:
         "select": select,
         "distinct": bool(m.group("distinct")) or select is None,
         "limit": int(m.group("limit")) if m.group("limit") else None,
+        "union_groups": union_groups or None,
     }
 
 
@@ -370,27 +520,66 @@ def sparql_select(
     triples: DataFrame,
     query: str,
     cols: tuple[str, str, str] = ("subj", "pred", "obj"),
-    path_max_hops: int = 16,
+    path_max_hops: int | None = 16,
     allow_product: bool = False,
 ) -> DataFrame:
     """Run a SPARQL-subset SELECT (see :func:`parse_sparql`) over the
     triples table — the string front end to :func:`bgp_match`, giving the
     engine the same read interface the reference consumed remotely.
 
+    A UNION chain evaluates each branch as (required patterns + branch
+    patterns) with OPTIONALs attached, aligns the branch bindings on the
+    union of their variables (a variable unbound in a branch is NULL —
+    SPARQL's union-of-solution-sequences), unions them, and applies
+    FILTERs over the aligned result.  The cartesian-product refusal
+    (:func:`bgp_match`) fires per branch, so a disconnected pattern raises
+    from this front end too.
+
     Note: plain SELECT (no DISTINCT) is executed with set semantics
     anyway when the projection is ``*`` (bag duplicates of full bindings
     are join artifacts, not information); an explicit variable list
     without DISTINCT keeps bag semantics like SPARQL."""
     q = parse_sparql(query)
-    out = bgp_match(
-        triples,
-        q["patterns"],
-        select=q["select"],
-        distinct=q["distinct"],
-        cols=cols,
-        allow_product=allow_product,
-        optional=q["optional"],
-        where=q["where"],
-        path_max_hops=path_max_hops,
-    )
+    if q["union_groups"]:
+        branch_dfs = []
+        all_vars: list[str] = []
+        for grp in q["union_groups"]:
+            pats = q["patterns"] + list(grp)
+            bdf = bgp_match(
+                triples, pats, select=None, distinct=False, cols=cols,
+                allow_product=allow_product, optional=q["optional"],
+                where=None, path_max_hops=path_max_hops,
+            )
+            branch_dfs.append(bdf)
+            for c in bdf.columns:
+                if c not in all_vars:
+                    all_vars.append(c)
+        out = None
+        for bdf in branch_dfs:
+            for c in all_vars:
+                if c not in bdf.columns:
+                    bdf = bdf.withColumn(c, F.lit(None).cast("string"))
+            bdf = bdf.select(*all_vars)
+            out = bdf if out is None else out.unionByName(bdf)
+        if q["where"] is not None:
+            out = out.filter(F.expr(q["where"]))
+        sel = q["select"] if q["select"] is not None else all_vars
+        missing = [c for c in sel if c not in all_vars]
+        if missing:
+            raise ValueError(f"select variables {missing} not bound by any branch")
+        out = out.select(*sel)
+        if q["distinct"]:
+            out = out.distinct()
+    else:
+        out = bgp_match(
+            triples,
+            q["patterns"],
+            select=q["select"],
+            distinct=q["distinct"],
+            cols=cols,
+            allow_product=allow_product,
+            optional=q["optional"],
+            where=q["where"],
+            path_max_hops=path_max_hops,
+        )
     return out.limit(q["limit"]) if q["limit"] else out

@@ -25,20 +25,34 @@ __all__ = ["to_ntriples_lines", "write_ntriples"]
 _DEFAULT_BASE = "http://example.org/resource/"
 
 
+_FORBIDDEN = (
+    (" ", "%20"), ('"', "%22"), ("<", "%3C"), (">", "%3E"),
+    ("{", "%7B"), ("}", "%7D"), ("|", "%7C"), ("^", "%5E"),
+    ("`", "%60"), ("\\", "%5C"),
+)
+
+
+def _escape_forbidden(col: Column, escape_percent: bool) -> Column:
+    escaped = col
+    chain = ((("%", "%25"),) if escape_percent else ()) + _FORBIDDEN
+    for ch, esc in chain:
+        escaped = F.replace(escaped, F.lit(ch), F.lit(esc))
+    return escaped
+
+
 def _iri(col: Column, base: str) -> Column:
     # escape the code points N-Triples forbids unescaped inside <...>
-    # (space, quotes, angle brackets, braces, pipe, caret, backtick, \)
-    escaped = col
-    for ch, esc in (
-        ("%", "%25"),  # first, so later escapes aren't double-escaped
-        (" ", "%20"), ('"', "%22"), ("<", "%3C"), (">", "%3E"),
-        ("{", "%7B"), ("}", "%7D"), ("|", "%7C"), ("^", "%5E"),
-        ("`", "%60"), ("\\", "%5C"),
-    ):
-        escaped = F.replace(escaped, F.lit(ch), F.lit(esc))
+    # (space, quotes, angle brackets, braces, pipe, caret, backtick, \).
+    # Minted IRIs also escape '%' first (so the later escapes aren't
+    # double-escaped); PASSTHROUGH absolute IRIs keep '%' as-is — a real
+    # IRI's existing percent-encoding must survive — but still get the
+    # forbidden-character escapes: a scraped value like 'see http://x > y'
+    # would otherwise emit a malformed line that breaks the whole dump for
+    # downstream parsers.
     return F.concat(
         F.lit("<"),
-        F.when(col.contains("://"), col).otherwise(F.concat(F.lit(base), escaped)),
+        F.when(col.contains("://"), _escape_forbidden(col, escape_percent=False))
+        .otherwise(F.concat(F.lit(base), _escape_forbidden(col, escape_percent=True))),
         F.lit(">"),
     )
 

@@ -137,3 +137,54 @@ def test_strict_passes_on_real_payloads(spark):
     )
     out = extract_media_features(media, strict=True).collect()
     assert out[0]["decoder"] == "png"
+
+
+def _real_jpeg(width=7, height=4, progressive=False):
+    """A minimal structurally-valid JPEG prefix built with stdlib only:
+    SOI, APP0/JFIF, a DQT, then SOF0 (baseline) or SOF2 (progressive)
+    carrying the frame dimensions — exactly the walk decode_jpeg performs;
+    a real file would continue with DHT/SOS/entropy data."""
+    import struct
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(64)
+    sof = struct.pack(">BHHB", 8, height, width, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, app0)
+        + seg(0xDB, dqt)
+        + seg(0xC2 if progressive else 0xC0, sof)
+    )
+
+
+def test_real_jpeg_decoder(spark):
+    """VERDICT-r4 item 4: real width/height from real JPEG bytes — baseline
+    (SOF0) and progressive (SOF2); truncated / SOF-less payloads refuse."""
+    from predicate_finder_spark.operators.multimodal import decode_jpeg
+
+    assert decode_jpeg(_real_jpeg(7, 4)) == [3.0, 7.0, 4.0, 8.0, 3.0, 0.0, 0.0, 0.0]
+    assert decode_jpeg(_real_jpeg(640, 480, progressive=True))[:6] == [
+        3.0, 640.0, 480.0, 8.0, 3.0, 1.0,
+    ]
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # SOI+EOI, no frame
+    assert decode_jpeg(b"\xff\xd8") is None
+    assert decode_jpeg(b"RIFFnotjpeg") is None
+    rows = [
+        ("j1", bytearray(_real_jpeg(7, 4)), None),
+        ("j2", bytearray(_real_jpeg(640, 480, progressive=True)), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, payload binary, "
+        "meta struct<mime:string, width:int, height:int, duration_ms:int>",
+    )
+    by_id = {
+        r["media_id"]: r
+        for r in extract_media_features(media, strict=True).collect()
+    }
+    assert by_id["j1"]["decoder"] == "jpeg"
+    assert by_id["j1"]["feature"][:3] == [3.0, 7.0, 4.0]
+    assert by_id["j2"]["feature"][1:3] == [640.0, 480.0]

@@ -319,3 +319,170 @@ def test_no_cartesian_in_plan(spark, triples_df):
     ]
     plan = bgp_match(triples_df, pats)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: OPTIONAL groups, UNION, unbounded closure, guard rails
+# ---------------------------------------------------------------------------
+
+def _py_closure(edges):
+    """Full transitive closure (unbounded) by python fixpoint."""
+    reach = set(edges)
+    while True:
+        new = reach | {(a, d) for a, b in reach for c, d in reach if b == c}
+        if new == reach:
+            return reach
+        reach = new
+
+
+def test_optional_group_matches_as_unit(spark, triples_df):
+    """The ADVICE counterexample: OPTIONAL { ?c located_in ?t . ?t knows ?r }
+    — located_in matches for every company but no town knows anyone, so
+    SPARQL leaves BOTH ?t and ?r unbound.  A per-pattern left join would
+    wrongly bind ?t and NULL only ?r."""
+    out = bgp_match(
+        triples_df,
+        [("?p", "works_at", "?c")],
+        optional=[[("?c", "located_in", "?t"), ("?t", "knows", "?r")]],
+    )
+    rows = out.collect()
+    assert out.columns == ["p", "c", "t", "r"]
+    assert len(rows) == 3
+    assert all(r["t"] is None and r["r"] is None for r in rows)
+    # and a group that DOES match binds both
+    out2 = bgp_match(
+        triples_df,
+        [("?p", "works_at", "?c")],
+        optional=[[("?c", "located_in", "?t"), ("?p", "knows", "?r")]],
+    )
+    got = _rows(out2)
+    assert ("alice", "acme", "springfield", "bob") in got
+    assert ("alice", "acme", "springfield", "carol") in got
+
+
+def test_sparql_optional_group_unit(spark, triples_df):
+    from predicate_finder_spark.operators.query import sparql_select
+
+    out = sparql_select(
+        triples_df,
+        "SELECT * WHERE { ?p works_at ?c . "
+        "OPTIONAL { ?c located_in ?t . ?t knows ?r } }",
+    )
+    assert all(r["t"] is None and r["r"] is None for r in out.collect())
+
+
+def test_filter_quoted_literals_untouched(spark, triples_df):
+    from predicate_finder_spark.operators.query import _translate_filter, sparql_select
+
+    assert _translate_filter("?x = '?foo'") == "x = '?foo'"
+    assert _translate_filter("?x = 'a && b' && ?y != '||'") == (
+        "x = 'a && b'  AND  y != '||'"
+    )
+    with pytest.raises(ValueError, match="unterminated"):
+        _translate_filter("?x = 'oops")
+    # end-to-end: a value containing '?' compares correctly
+    df = spark.createDataFrame(
+        [("q1", "asks", "?what"), ("q2", "asks", "plain")],
+        ["subj", "pred", "obj"],
+    )
+    out = sparql_select(
+        df, "SELECT ?s WHERE { ?s asks ?o . FILTER (?o = '?what') }"
+    )
+    assert _rows(out) == {("q1",)}
+
+
+def test_sparql_union_basic(spark, triples_df):
+    from predicate_finder_spark.operators.query import sparql_select
+
+    out = sparql_select(
+        triples_df,
+        "SELECT DISTINCT ?a ?b WHERE { "
+        "{ ?a knows ?b } UNION { ?b knows ?a } }",
+    )
+    knows = {(s, o) for s, p, o in TRIPLES if p == "knows"}
+    assert _rows(out) == knows | {(o, s) for s, o in knows}
+
+
+def test_sparql_union_null_pads_branch_only_vars(spark, triples_df):
+    from predicate_finder_spark.operators.query import sparql_select
+
+    out = sparql_select(
+        triples_df,
+        "SELECT ?p ?c ?t WHERE { ?p works_at ?c . "
+        "{ ?c located_in ?t } UNION { ?p knows ?c } }",
+    )
+    rows = _rows(out)
+    # branch 1 binds t; branch 2 (never matches here: nobody knows a
+    # company) contributes nothing — but alignment must not error
+    assert ("alice", "acme", "springfield") in rows
+    assert out.columns == ["p", "c", "t"]
+    # a branch that DOES fire with an unbound var NULL-pads it
+    out2 = sparql_select(
+        triples_df,
+        "SELECT ?p ?x ?t WHERE { "
+        "{ ?p works_at ?x . ?x located_in ?t } UNION { ?p knows ?x } }",
+    )
+    got = _rows(out2)
+    assert ("alice", "acme", "springfield") in got
+    assert ("alice", "bob", None) in got
+
+
+def test_sparql_union_rejects_second_chain(spark):
+    from predicate_finder_spark.operators.query import parse_sparql
+
+    with pytest.raises(ValueError, match="one UNION chain"):
+        parse_sparql(
+            "SELECT * WHERE { { ?a p ?b } UNION { ?b p ?a } "
+            "{ ?a q ?c } UNION { ?c q ?a } }"
+        )
+    with pytest.raises(ValueError, match="without UNION"):
+        parse_sparql("SELECT * WHERE { { ?a p ?b } }")
+
+
+def test_transitive_pairs_fixpoint(spark, triples_df):
+    from predicate_finder_spark.operators.query import transitive_pairs
+
+    knows = [(s, o) for s, p, o in TRIPLES if p == "knows"]
+    got = _rows(transitive_pairs(triples_df, "knows", None))
+    assert got == _py_closure(knows)
+
+
+def test_star_path_reflexive_closure(spark, triples_df):
+    """pred* = fixpoint closure + zero-length paths for every graph node."""
+    out = bgp_match(triples_df, [("alice", "knows*", "?x")])
+    knows = [(s, o) for s, p, o in TRIPLES if p == "knows"]
+    reach = {x for a, x in _py_closure(knows) if a == "alice"}
+    assert _rows(out) == {(x,) for x in reach | {"alice"}}
+    # a node with NO knows edges still self-matches via the zero-hop path
+    out2 = bgp_match(triples_df, [("acme", "knows*", "?x")])
+    assert _rows(out2) == {("acme",)}
+
+
+def test_sparql_star_path(spark, triples_df):
+    from predicate_finder_spark.operators.query import sparql_select
+
+    out = sparql_select(
+        triples_df, "SELECT DISTINCT ?x WHERE { alice knows* ?x . }"
+    )
+    knows = [(s, o) for s, p, o in TRIPLES if p == "knows"]
+    reach = {x for a, x in _py_closure(knows) if a == "alice"}
+    assert _rows(out) == {(x,) for x in reach | {"alice"}}
+
+
+def test_sparql_select_product_refusal(spark, triples_df):
+    """VERDICT r4 item 7: the cartesian refusal must fire from the string
+    front end, not just bgp_match."""
+    from predicate_finder_spark.operators.query import sparql_select
+
+    with pytest.raises(ValueError, match="cartesian product"):
+        sparql_select(
+            triples_df,
+            "SELECT * WHERE { ?a knows ?b . ?c works_at ?d . }",
+        ).collect()
+    # and through a UNION branch too
+    with pytest.raises(ValueError, match="cartesian product"):
+        sparql_select(
+            triples_df,
+            "SELECT * WHERE { ?a knows ?b . "
+            "{ ?c works_at ?d } UNION { ?a works_at ?d } }",
+        ).collect()

@@ -83,3 +83,18 @@ def test_no_python_worker_in_plan(spark):
         to_ntriples_lines(tri)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_passthrough_iri_forbidden_chars_escaped(spark):
+    """ADVICE r4: a scraped absolute-IRI value containing forbidden
+    characters ('see http://x > y') must not emit a malformed line; its
+    existing percent-encoding must survive untouched."""
+    tri = spark.createDataFrame(
+        [("see http://x > y", "http://ex.org/p", "http://ex.org/a%20b")],
+        ["subj", "pred", "obj"],
+    )
+    [line] = _lines(to_ntriples_lines(tri, base="http://ex.org/"))
+    first = line.split("> <")[0] + ">"
+    assert first == "<see%20http://x%20%3E%20y>"
+    # pre-encoded %20 in a passthrough IRI is NOT double-escaped
+    assert line.rstrip(" .").endswith("<http://ex.org/a%20b>")
