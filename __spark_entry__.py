@@ -1440,71 +1440,143 @@ def q40_kg_pipeline(spark, sf):
     return tri.select("url", "subj", "pred", "obj")
 
 
+def q95_scorer(spark, sf):
+    """Flagship scorer under the VALUE-EXACT gate (VERDICT-r4 item 3 — the
+    last unoracled flagship stage): max-over-ngrams cosine(gram-mean,
+    pred-mean) x max-IDF, with the default-IDF 2.0 OOV fallback, the +1e-9
+    cosine guard, and the 1.1x direction-agreement boost — the REAL
+    operators (scoring.make_scorer_udf / score_candidates; reference
+    semantics baseline/baseline.py:96-169, guard :149-152, default IDF
+    :133-138) over q55-style candidates.
+
+    Determinism contract: the KG picks one of THREE predicates per edge
+    (md5-seeded), so pred_tokens / widf vary per row; the embedding
+    dictionary is md5-derived per (word, dim) over the bounded vocabulary
+    (top-20 corpus words + predicate camel words — dictionary-sized driver
+    pulls, never corpus-sized); the IDF dictionary is the engine's
+    build_idf restricted to the predicate camel words ('part' is a top
+    corpus word, so partOf takes a REAL idf while coOccursWith falls back
+    to 2.0).  DuckDB rebuilds every stage: candidates, embeddings, IDF,
+    n-gram mean vectors with OOV-zero semantics, cosine, boost."""
+    import hashlib
+
+    import numpy as np
+
+    from predicate_finder_spark.functions.text import camel_split
+    from predicate_finder_spark.operators.linking import link_mentions, resolve_mentions
+    from predicate_finder_spark.operators.mentions import generate_mentions
+    from predicate_finder_spark.operators.predicates import (
+        candidate_predicates,
+        pair_mentions,
+    )
+    from predicate_finder_spark.operators.scoring import (
+        build_idf,
+        make_scorer_udf,
+        score_candidates,
+    )
+    from predicate_finder_spark.synth import _u
+
+    docs = _t(spark, sf, "documents")
+    sent = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).alias("sent_id"),
+        F.col("text").alias("sentence"),
+        _tokens(F.col("text")).alias("tokens"),
+    )
+    freq = (
+        sent.select(F.explode("tokens").alias("alias"))
+        .groupBy("alias")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("alias").asc())
+        .limit(20)
+    )
+    aliases = freq.select("alias", F.col("alias").alias("entity"), F.lit(0.9).alias("prior"))
+    a, b = freq.select(F.col("alias").alias("wa")), freq.select(F.col("alias").alias("wb"))
+    top_pairs = a.crossJoin(b).filter(F.col("wa") != F.col("wb"))  # 20x20 dim
+    pick = _u("pp", F.col("wa"), F.col("wb"))
+    pred_uri = (
+        F.when(pick < 1.0 / 3.0, F.lit("http://example.org/ontology/coOccursWith"))
+        .when(pick < 2.0 / 3.0, F.lit("http://example.org/ontology/locatedIn"))
+        .otherwise(F.lit("http://example.org/ontology/partOf"))
+    )
+    kg = top_pairs.filter(_u("kg", F.col("wa"), F.col("wb")) < 0.4).select(
+        F.col("wa").alias("s"), pred_uri.alias("p"), F.col("wb").alias("o")
+    )
+    mentions = generate_mentions(sent, max_n=1)
+    resolved = resolve_mentions(link_mentions(mentions, aliases))
+    pairs = pair_mentions(resolved, sent)
+    cands = candidate_predicates(pairs, kg).withColumn(
+        "pred_tokens", camel_split(F.col("pred"))
+    )
+
+    camel = ["co", "occurs", "with", "located", "in", "part", "of"]
+    top_words = [r["alias"] for r in freq.collect()]  # bounded: 20 rows
+    vocab = sorted({w.lower() for w in top_words} | set(camel))
+
+    def _upy(key: str) -> float:
+        return (int(hashlib.md5(key.encode()).hexdigest()[:12], 16) % 1000003) / 1000003.0
+
+    emb = {
+        w: np.array([_upy(f"emb|{w}|{d}") * 2.0 - 1.0 for d in range(4)])
+        for w in vocab
+    }
+    idf_rows = build_idf(sent).filter(F.col("word").isin(camel)).collect()
+    idf = {r["word"]: r["idf"] for r in idf_rows}
+    scorer = make_scorer_udf(spark, emb, idf, max_ngram=2, default_idf=2.0)
+    scored = score_candidates(cands, scorer)
+    return scored.select(
+        "url", "subj", "obj", "pred", "rule",
+        F.array_join("rel_tokens", " ").alias("rel"),
+        F.round("score", 6).alias("score"),
+    ).distinct()
+
+
+def q96_reach_star(spark, sf):
+    """Unbounded reflexive-transitive closure pred* through the SPARQL
+    front end (VERDICT-r4 item 6): fixpoint pointer doubling with digest
+    convergence (operators/query.transitive_pairs(max_hops=None) via
+    graph._state_digest) plus the zero-hop reflexive pairs over every
+    graph node — vs a DuckDB recursive CTE (AS MATERIALIZED per the q72
+    trap: the edge set is referenced by both the closure and the
+    reflexive arm)."""
+    from predicate_finder_spark.operators.query import sparql_select
+
+    tri = _q55_cands(spark, sf).select("subj", "pred", "obj")
+    return sparql_select(
+        tri, "SELECT DISTINCT ?src ?dst WHERE { ?src coOccursWith* ?dst . }"
+    )
+
+
+def q97_sparql_union(spark, sf):
+    """SPARQL UNION through the string front end (VERDICT-r4 item 6): each
+    branch evaluates as required+branch patterns, bindings align on the
+    variable union, branches union with set semantics — vs the two-branch
+    SQL union.  The cartesian refusal fires per branch (tests/test_query),
+    so this also certifies the planner guard end-to-end."""
+    from predicate_finder_spark.operators.query import sparql_select
+
+    tri = _q55_cands(spark, sf).select("subj", "pred", "obj")
+    return sparql_select(
+        tri,
+        "SELECT DISTINCT ?s ?o ?r WHERE { ?s coOccursWith ?o . "
+        "{ ?o coOccursWith ?r } UNION { ?r coOccursWith ?s } }",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness artifact records the FIRST
-    # 50 entries, so the 50 most valuable VALUE-EXACT-oracled queries come
-    # first (the r3 judge asked for exactly this when the cap binds).
-    # Demoted past the cap -- still registered, still run by the local gate
-    # (tests/test_queries.py) against the same DuckDB oracles:
-    #   q26/q27 (trivial set ops; q28_except keeps the family driver-checked),
-    #   q40_kg_pipeline (no SQL oracle by design -- pandas-UDF scorer; its
-    #   deterministic front-half IS driver-checked value-exact as
-    #   q55_kg_candidates, and entry() smoke-runs the full flagship).
+    # 50 entries.  Round-5 rotation (VERDICT-r4 item 1): the 41 oracled
+    # queries that have NEVER appeared in any CORRECTNESS_r* window
+    # (q51-q54, q56-q59, q62-q94 -- the whole round-4 surface: PageRank,
+    # duplicate spans, web channels, BGP, curation components) now occupy
+    # the window, plus the three NEW round-5 queries (q95 scorer oracle,
+    # q96 pred* closure, q97 UNION) and the once-certified r4 rotations
+    # (q55/q60/q61) with three high-value anchors (q32/q34/q12).  The
+    # 4x-driver-certified basics (q01-q31 etc.) yield their slots -- still
+    # registered, still run by the local gate (tests/test_queries.py)
+    # against the same DuckDB oracles every session.
     return {
-        "q01_filter_project": q01_filter_project,
-        "q02_regex_filter": q02_regex_filter,
-        "q03_regex_extract": q03_regex_extract,
-        "q04_normalize": q04_normalize,
-        "q05_distinct": q05_distinct,
-        "q06_dim_join": q06_dim_join,
-        "q07_two_direction_union": q07_two_direction_union,
-        "q08_eval_join": q08_eval_join,
-        "q09_semi_join": q09_semi_join,
-        "q10_anti_join": q10_anti_join,
-        "q11_salted_join": q11_salted_join,
-        "q12_idf": q12_idf,
-        "q13_vocab": q13_vocab,
-        "q14_global_agg": q14_global_agg,
-        "q15_grouped_agg": q15_grouped_agg,
-        "q16_argmax": q16_argmax,
-        "q17_rollup": q17_rollup,
-        "q18_cube": q18_cube,
-        "q19_distinct_count": q19_distinct_count,
-        "q20_top1_window": q20_top1_window,
-        "q21_lag_delta": q21_lag_delta,
-        "q22_running_sum": q22_running_sum,
-        "q23_topk_per_group": q23_topk_per_group,
-        "q24_global_topk": q24_global_topk,
-        "q25_hash_split": q25_hash_split,
-        "q28_except": q28_except,
-        "q29_stopword_counts": q29_stopword_counts,
-        "q30_scalar_funcs": q30_scalar_funcs,
-        "q31_fingerprint": q31_fingerprint,
-        "q32_ann_topk": q32_ann_topk,
-        "q33_dedup_exact": q33_dedup_exact,
-        "q34_minhash_sig": q34_minhash_sig,
-        "q35_sessionize": q35_sessionize,
-        "q36_tumbling_window": q36_tumbling_window,
-        "q37_pivot": q37_pivot,
-        "q38_langid_hits": q38_langid_hits,
-        "q39_bpe_count": q39_bpe_count,
-        "q41_token_overlap": q41_token_overlap,
-        "q42_jaccard_pairs": q42_jaccard_pairs,
-        "q43_simhash": q43_simhash,
-        "q44_syntax_path": q44_syntax_path,
-        "q45_centroids": q45_centroids,
-        "q46_asof_join": q46_asof_join,
-        "q47_range_join": q47_range_join,
-        "q48_quantiles": q48_quantiles,
-        "q49_camel_split": q49_camel_split,
-        "q50_ngrams": q50_ngrams,
-        "q55_kg_candidates": q55_kg_candidates,
-        "q60_ivf_topk": q60_ivf_topk,
-        "q61_curation": q61_curation,
-        # --- past the driver's 50-entry cap (local gate only) ---
-        "q26_union": q26_union,
-        "q27_intersect": q27_intersect,
-        "q40_kg_pipeline": q40_kg_pipeline,
+        # --- never driver-checked before round 5 ---
         "q51_wh_word": q51_wh_word,
         "q52_jaro_winkler": q52_jaro_winkler,
         "q53_quality": q53_quality,
@@ -1546,6 +1618,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_latest_snapshot": q92_latest_snapshot,
         "q93_bgp_triangles": q93_bgp_triangles,
         "q94_reachability": q94_reachability,
+        # --- new in round 5 ---
+        "q95_scorer": q95_scorer,
+        "q96_reach_star": q96_reach_star,
+        "q97_sparql_union": q97_sparql_union,
+        # --- once-certified (r4) + high-value anchors ---
+        "q55_kg_candidates": q55_kg_candidates,
+        "q60_ivf_topk": q60_ivf_topk,
+        "q61_curation": q61_curation,
+        "q32_ann_topk": q32_ann_topk,
+        "q34_minhash_sig": q34_minhash_sig,
+        "q12_idf": q12_idf,
+        # --- past the driver's 50-entry cap (local gate only) ---
+        "q01_filter_project": q01_filter_project,
+        "q02_regex_filter": q02_regex_filter,
+        "q03_regex_extract": q03_regex_extract,
+        "q04_normalize": q04_normalize,
+        "q05_distinct": q05_distinct,
+        "q06_dim_join": q06_dim_join,
+        "q07_two_direction_union": q07_two_direction_union,
+        "q08_eval_join": q08_eval_join,
+        "q09_semi_join": q09_semi_join,
+        "q10_anti_join": q10_anti_join,
+        "q11_salted_join": q11_salted_join,
+        "q13_vocab": q13_vocab,
+        "q14_global_agg": q14_global_agg,
+        "q15_grouped_agg": q15_grouped_agg,
+        "q16_argmax": q16_argmax,
+        "q17_rollup": q17_rollup,
+        "q18_cube": q18_cube,
+        "q19_distinct_count": q19_distinct_count,
+        "q20_top1_window": q20_top1_window,
+        "q21_lag_delta": q21_lag_delta,
+        "q22_running_sum": q22_running_sum,
+        "q23_topk_per_group": q23_topk_per_group,
+        "q24_global_topk": q24_global_topk,
+        "q25_hash_split": q25_hash_split,
+        "q26_union": q26_union,
+        "q27_intersect": q27_intersect,
+        "q28_except": q28_except,
+        "q29_stopword_counts": q29_stopword_counts,
+        "q30_scalar_funcs": q30_scalar_funcs,
+        "q31_fingerprint": q31_fingerprint,
+        "q33_dedup_exact": q33_dedup_exact,
+        "q35_sessionize": q35_sessionize,
+        "q36_tumbling_window": q36_tumbling_window,
+        "q37_pivot": q37_pivot,
+        "q38_langid_hits": q38_langid_hits,
+        "q39_bpe_count": q39_bpe_count,
+        "q40_kg_pipeline": q40_kg_pipeline,
+        "q41_token_overlap": q41_token_overlap,
+        "q42_jaccard_pairs": q42_jaccard_pairs,
+        "q43_simhash": q43_simhash,
+        "q44_syntax_path": q44_syntax_path,
+        "q45_centroids": q45_centroids,
+        "q46_asof_join": q46_asof_join,
+        "q47_range_join": q47_range_join,
+        "q48_quantiles": q48_quantiles,
+        "q49_camel_split": q49_camel_split,
+        "q50_ngrams": q50_ngrams,
     }
 
 
@@ -2972,6 +3103,170 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT url, replace(lower(k), ' ', '_') AS key, v AS value
         FROM c WHERE k <> '' AND v <> ''
+    """
+    # q95: the flagship scorer value-exact (VERDICT-r4 item 3).  Every
+    # dictionary is rebuilt from first principles: embeddings are the
+    # md5-fold formula per (word, dim) over the bounded vocab, IDF is
+    # log2(N/df) restricted to the predicate camel words, the KG picks one
+    # of three predicates per md5-seeded edge.  Gram semantics mirror
+    # scoring.make_scorer_udf exactly: unigram = token vector (OOV rows
+    # drop), bigram = (v_j + v_{j+1}) / in-vocab-count (drop when both
+    # OOV), sim = dot / (|g| * |pv| + 1e-9), best = max(0, max sims),
+    # score = best * widf * 1.1^(direction agreement).
+    _upp = _hex12.format(s="'pp|' || a.word || '|' || b.word")
+    _uemb = _hex12.format(s="'emb|' || word || '|' || d")
+    _uembw = _hex12.format(s="'emb|' || w || '|' || (d - 1)")
+    _camel_sql = "['co','occurs','with','located','in','part','of']"
+    sqls["q95_scorer"] = f"""
+        WITH toks AS (
+          SELECT doc_id::VARCHAR AS url,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents
+        ), words AS (
+          SELECT url, unnest(range(len(toks))) AS start, unnest(toks) AS w
+          FROM toks
+        ), freq AS (
+          SELECT w AS word, count(*) AS c FROM words GROUP BY w
+          ORDER BY c DESC, word ASC LIMIT 20
+        ), linked AS (
+          SELECT words.url, words.start, words.w AS entity
+          FROM words JOIN freq ON words.w = freq.word
+        ), seq AS (
+          SELECT url, start, entity,
+                 lead(entity) OVER (PARTITION BY url ORDER BY start ASC) AS entity2,
+                 lead(start) OVER (PARTITION BY url ORDER BY start ASC) AS start2
+          FROM linked
+        ), prs AS (
+          SELECT s.url, s.start, s.entity, s.entity2,
+                 coalesce(t.toks[s.start + 2 : s.start2], []) AS rtoks
+          FROM seq s JOIN toks t ON s.url = t.url
+          WHERE s.entity2 IS NOT NULL AND s.start2 >= s.start + 1
+        ), kg AS (
+          SELECT s,
+                 CASE WHEN u < 1.0/3.0 THEN 'coOccursWith'
+                      WHEN u < 2.0/3.0 THEN 'locatedIn'
+                      ELSE 'partOf' END AS pred,
+                 o
+          FROM (
+            SELECT a.word AS s, b.word AS o,
+                   ({_upp} % 1000003) / 1000003.0 AS u,
+                   ({_ukg} % 1000003) / 1000003.0 AS ukg
+            FROM freq a, freq b WHERE a.word <> b.word
+          ) WHERE ukg < 0.4
+        ), oriented AS (
+          SELECT url, start, rtoks, entity AS s, entity2 AS o, 'forward' AS rule FROM prs
+          UNION ALL
+          SELECT url, start, rtoks, entity2 AS s, entity AS o, 'reverse' AS rule FROM prs
+        ), cand AS (
+          SELECT o2.url, o2.start, o2.rtoks, o2.s AS subj, o2.o AS obj,
+                 kg.pred, o2.rule
+          FROM oriented o2 JOIN kg ON o2.s = kg.s AND o2.o = kg.o
+        ), vocab AS (
+          SELECT DISTINCT lower(word) AS word FROM (
+            SELECT word FROM freq
+            UNION ALL SELECT unnest({_camel_sql})
+          )
+        ), emb AS (
+          SELECT word,
+                 list_transform(range(0, 4), d ->
+                   (({_uemb} % 1000003) / 1000003.0) * 2.0 - 1.0) AS v
+          FROM vocab
+        ), idf AS (
+          SELECT w AS word,
+                 log2((SELECT count(*) FROM toks)::DOUBLE / count(*)) AS idf
+          FROM (SELECT DISTINCT url, w FROM
+                 (SELECT url, lower(unnest(toks)) AS w FROM toks))
+          WHERE w IN ('co','occurs','with','located','in','part','of')
+          GROUP BY w
+        ), predw AS (
+          SELECT 'coOccursWith' AS pred, ['co','occurs','with'] AS pw
+          UNION ALL SELECT 'locatedIn', ['located','in']
+          UNION ALL SELECT 'partOf', ['part','of']
+        ), pvecs AS (
+          SELECT pred,
+                 list_transform(range(1, 5), d ->
+                   list_sum(list_transform(pw, w ->
+                     (({_uembw} % 1000003) / 1000003.0) * 2.0 - 1.0))
+                   / len(pw)) AS pv
+          FROM predw
+        ), pw_flat AS (
+          SELECT pred, unnest(pw) AS w FROM predw
+        ), widfs AS (
+          SELECT pred,
+                 CASE WHEN max(coalesce(i.idf, 0.0)) > 0.0
+                      THEN max(coalesce(i.idf, 0.0)) ELSE 2.0 END AS widf
+          FROM pw_flat LEFT JOIN idf i ON i.word = pw_flat.w
+          GROUP BY pred
+        ), relpos AS (
+          SELECT url, start, rule, pred,
+                 unnest(range(len(rtoks))) AS j,
+                 unnest(list_transform(rtoks, x -> lower(x))) AS w
+          FROM cand
+        ), relvec AS (
+          SELECT r.url, r.start, r.rule, r.pred, r.j, e.v
+          FROM relpos r LEFT JOIN emb e ON r.w = e.word
+        ), uni AS (
+          SELECT url, start, rule, pred, v AS g
+          FROM relvec WHERE v IS NOT NULL
+        ), bi AS (
+          SELECT a.url, a.start, a.rule, a.pred,
+                 list_transform(range(1, 5), d ->
+                   (coalesce(a.v[d], 0.0) + coalesce(b.v[d], 0.0))
+                   / ((a.v IS NOT NULL)::INT + (b.v IS NOT NULL)::INT)) AS g
+          FROM relvec a JOIN relvec b
+            ON a.url = b.url AND a.start = b.start AND a.rule = b.rule
+           AND b.j = a.j + 1
+          WHERE a.v IS NOT NULL OR b.v IS NOT NULL
+        ), grams AS (
+          SELECT * FROM uni UNION ALL SELECT * FROM bi
+        ), sims AS (
+          SELECT g.url, g.start, g.rule, g.pred,
+                 list_sum(list_transform(range(1, 5), d -> g.g[d] * p.pv[d]))
+                 / (sqrt(list_sum(list_transform(g.g, x -> x * x)))
+                    * sqrt(list_sum(list_transform(p.pv, x -> x * x))) + 1e-9) AS sim
+          FROM grams g JOIN pvecs p ON g.pred = p.pred
+        ), best AS (
+          SELECT url, start, rule, pred, max(sim) AS b
+          FROM sims GROUP BY url, start, rule, pred
+        )
+        SELECT DISTINCT c.url, c.subj, c.obj, c.pred, c.rule,
+               coalesce(array_to_string(c.rtoks, ' '), '') AS rel,
+               round(
+                 greatest(coalesce(bb.b, 0.0), 0.0) * w.widf *
+                 CASE WHEN coalesce(lower(c.rtoks[1]) IN ('is','was','are','were')
+                            AND lower(c.rtoks[len(c.rtoks)]) = 'of', false)
+                           = (c.rule = 'reverse')
+                      THEN 1.1 ELSE 1.0 END, 6) AS score
+        FROM cand c
+        LEFT JOIN best bb ON bb.url = c.url AND bb.start = c.start
+                         AND bb.rule = c.rule AND bb.pred = c.pred
+        JOIN widfs w ON w.pred = c.pred
+    """
+    # q96: unbounded pred* = recursive-CTE closure + reflexive arm (edge
+    # set AS MATERIALIZED — the q72 inlining trap: it is referenced by the
+    # recursion AND the nodes arm)
+    sqls["q96_reach_star"] = f"""
+        WITH RECURSIVE e AS MATERIALIZED (
+          SELECT DISTINCT subj AS src, obj AS dst FROM ({_q55_sql})
+        ), rr AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT rr.src, e2.dst FROM rr JOIN e e2 ON rr.dst = e2.src
+        ), nodes AS (
+          SELECT src AS n FROM e UNION SELECT dst AS n FROM e
+        )
+        SELECT src, dst FROM rr
+        UNION
+        SELECT n AS src, n AS dst FROM nodes
+    """
+    # q97: two-branch UNION over the same edge set
+    sqls["q97_sparql_union"] = f"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT subj AS s, obj AS o FROM ({_q55_sql})
+        )
+        SELECT DISTINCT a.s, a.o, b.o AS r FROM e a JOIN e b ON b.s = a.o
+        UNION
+        SELECT a.s, a.o, b.s AS r FROM e a JOIN e b ON b.o = a.s
     """
     # q40_kg_pipeline, q56, q57: intentionally rows-only entries (q40 =
     # pandas-UDF-scored multi-stage pipeline, pinned by unit tests + the
