@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from predicate_finder_spark.functions.hashing import (
     hamming64,
     lsh_bands,
-    minhash_signature,
     simhash64,
     word_shingles,
 )
@@ -140,8 +139,29 @@ def minhash_lsh_pairs(
         F.col(id_col),
         word_shingles(tokenize(F.col(text_col)), shingle_k).alias("__sh"),
     )
-    sig_df = shingled.select(
-        F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    # Signature via explode + grouped min, NOT the transform/array_min
+    # higher-order column (functions/hashing.minhash_signature): Spark
+    # evaluates higher-order lambdas INTERPRETED (no whole-stage codegen
+    # inside the lambda), so 16 seeds x |shingles| md5s per doc pay
+    # per-element interpreter overhead — measured ~2.3x slower than this
+    # shape at 20k pages.  Here the Generate and the 16 md5 columns are
+    # codegen'd, the per-doc min is a map-side partial aggregate (each
+    # doc's shingles sit in one partition, so the exchange carries ONE
+    # 16-hash row per doc), and the VALUES are byte-identical — same
+    # h_i(s) = md5(s || '#' || i) family, same lexicographic min, so every
+    # downstream band key, candidate pair, and oracle row is unchanged.
+    sig_cols = [
+        F.min(F.md5(F.concat(F.col("__s"), F.lit(f"#{i}")))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    sig_df = (
+        shingled.select(F.col(id_col), F.explode("__sh").alias("__s"))
+        .groupBy(id_col)
+        .agg(*sig_cols)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig"),
+        )
     )
     keyed = sig_df.select(
         F.col(id_col), F.explode(lsh_bands(F.col("__sig"), bands, rows)).alias("bk")
@@ -166,8 +186,25 @@ def minhash_lsh_pairs(
     pairs = pairs.persist()
     pairs.count()
     # same shingle universe as ngram_jaccard_pairs (word_shingles is
-    # already distinct), so the jaccard values are identical
-    sets = shingled.select(F.col(id_col).alias("id"), F.col("__sh").alias("sh"))
+    # already distinct), so the jaccard values are identical.  Shingle only
+    # the CANDIDATE docs: a semi-join on the (tiny, persisted) pair ids
+    # prunes the corpus before the tokenize/shingle projection runs, so the
+    # verify stage re-shingles O(candidates) docs, not the whole corpus —
+    # at 100 TB the difference between two more full-corpus passes and a
+    # few thousand rows.  Output-identical: every (id_a, id_b) row still
+    # finds both its shingle sets.
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        docs.join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(tokenize(F.col(text_col)), shingle_k).alias("sh"),
+        )
+    )
     verified = (
         pairs.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
