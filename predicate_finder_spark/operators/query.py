@@ -55,11 +55,43 @@ def _pattern_frame(
     reflexive-transitive closure — always evaluated to the fixpoint, with
     the zero-length paths contributed by every node of the graph (subject
     or object of ANY triple, the standard engine reading of SPARQL's
-    zero-hop semantics over the queried graph)."""
+    zero-hop semantics over the queried graph).
+
+    Two more SPARQL path forms: ``^pred`` (inverse path — evaluated by
+    swapping the subject/object terms, composes with ``+``/``*`` since the
+    inverse of a closure is the closure of the inverse; a leading ``^``
+    applies to the WHOLE remaining path term, i.e. ``^a|b`` reads
+    ``^(a|b)`` here — parenthesise-by-splitting if you need SPARQL's
+    ``(^a)|b``) and ``a|b|c`` (alternation of PLAIN predicates — one isin
+    filter on the same scan, exactly as selective as a constant;
+    alternatives carrying ``^``/``+``/``*`` modifiers raise, since the
+    unparenthesised mix is ambiguous)."""
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (subj, pred, obj), got {pattern!r}")
     df = triples
     p_term = pattern[1]
+    if not _is_var(p_term) and p_term is not None and p_term.startswith("^") and len(p_term) > 1:
+        inv, inv_names = _pattern_frame(
+            triples, (pattern[2], p_term[1:], pattern[0]), cols, path_max_hops
+        )
+        # the recursion saw (obj, pred, subj), so its binding order is
+        # flipped — restore the caller's subject-first order
+        want = []
+        for term in (pattern[0], pattern[2]):
+            if _is_var(term) and term[1:] in inv_names and term[1:] not in want:
+                want.append(term[1:])
+        if want != inv_names:
+            inv = inv.select(*want)
+        return inv, want
+    alts = None
+    if not _is_var(p_term) and p_term is not None and "|" in p_term:
+        alts = p_term.split("|")
+        if any((not a) or a[-1] in "+*" or a.startswith("^") for a in alts):
+            raise ValueError(
+                f"predicate alternation {p_term!r} must list plain predicates "
+                "(no ^/+/* modifiers inside an unparenthesised alternation)"
+            )
+        df = df.filter(F.col(cols[1]).isin(*alts))
     if not _is_var(p_term) and p_term is not None and len(p_term) > 1 and p_term[-1] in "+*":
         base, star = p_term[:-1], p_term.endswith("*")
         reach = transitive_pairs(triples, base, None if star else path_max_hops, cols)
@@ -80,6 +112,8 @@ def _pattern_frame(
         return _pattern_frame(reach, (pattern[0], base, pattern[2]), cols)
     var_slot: dict[str, str] = {}
     for slot, term in zip(cols, pattern):
+        if slot == cols[1] and alts is not None:
+            continue  # alternation already filtered the predicate slot
         if _is_var(term):
             name = term[1:]
             if not name:
@@ -412,8 +446,11 @@ def parse_sparql(query: str) -> dict:
 
     Terms: ``?var``, ``<iri>`` (angle brackets stripped — the KG stores
     plain strings), quoted literals, or bare tokens; a predicate written
-    ``p+`` is the bounded property path (:func:`transitive_pairs`) and
-    ``p*`` the unbounded reflexive-transitive closure.  FILTER expressions
+    ``p+`` is the bounded property path (:func:`transitive_pairs`),
+    ``p*`` the unbounded reflexive-transitive closure, ``^p`` the inverse
+    path, and ``a|b`` plain-predicate alternation (see
+    :func:`_pattern_frame` for the modifier-combination rules).  FILTER
+    expressions
     are translated to Spark SQL (``?x`` -> column ``x``, ``&&``/``||`` ->
     AND/OR, quoted literals untouched) and handed to ``F.expr`` —
     equality, comparison, and string functions that exist in both dialects

@@ -486,3 +486,38 @@ def test_sparql_select_product_refusal(spark, triples_df):
             "SELECT * WHERE { ?a knows ?b . "
             "{ ?c works_at ?d } UNION { ?a works_at ?d } }",
         ).collect()
+
+
+def test_inverse_path(spark, triples_df):
+    from predicate_finder_spark.operators.query import sparql_select
+
+    out = bgp_match(triples_df, [("?c", "^works_at", "?p")])
+    expect = {(c, p) for p, pr, c in TRIPLES if pr == "works_at"}
+    assert _rows(out) == expect
+    # inverse composes with closure: ^knows+ = inverse of the closure
+    out2 = bgp_match(triples_df, [("?x", "^knows+", "alice")])
+    knows = [(s, o) for s, p, o in TRIPLES if p == "knows"]
+    reach = {x for a, x in _py_closure(knows) if a == "alice"}
+    assert _rows(out2) == {(x,) for x in reach}
+    # and through the string front end
+    out3 = sparql_select(
+        triples_df, "SELECT ?c ?p WHERE { ?c ^works_at ?p . }"
+    )
+    assert _rows(out3) == expect
+
+
+def test_predicate_alternation(spark, triples_df):
+    from predicate_finder_spark.operators.query import sparql_select
+
+    out = bgp_match(triples_df, [("?a", "knows|works_at", "?b")])
+    expect = {(s, o) for s, p, o in TRIPLES if p in ("knows", "works_at")}
+    assert _rows(out) == expect
+    out2 = sparql_select(
+        triples_df,
+        "SELECT DISTINCT ?a ?b WHERE { ?a knows|works_at ?b . }",
+    )
+    assert _rows(out2) == expect
+    with pytest.raises(ValueError, match="alternation"):
+        bgp_match(triples_df, [("?a", "knows|works_at+", "?b")]).collect()
+    with pytest.raises(ValueError, match="alternation"):
+        bgp_match(triples_df, [("?a", "knows|^works_at", "?b")]).collect()

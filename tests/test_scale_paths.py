@@ -83,23 +83,23 @@ def test_flagship_plan_shape(spark, small):
 
 
 def test_minhash_banding_no_signature_reevaluation(spark, small):
-    """Plan regression guard for the HOF-inlining fix: lsh_bands references
-    its signature argument once per band lambda, and Catalyst does not hoist
-    common subexpressions out of lambdas — if the fused minhash expression
-    ever gets inlined back into the banding transform (e.g. someone removes
-    the projection boundary below the Generate), the full signature chain
-    (array_min over per-shingle md5s) appears once PER BAND in the plan
-    instead of once per self-join side, and re-evaluates per row per band
-    (measured 4-8x slower at 20k pages)."""
+    """Plan regression guard for the signature path (codegen shape): the
+    16 seed hashes must be computed as partial aggregates over the exploded
+    shingle stream — ``min(md5(...))`` appears once per hash per self-join
+    side (16 or 32 in the optimized plan, since the optimizer duplicates
+    the keyed subtree across the two sides).  Two regressions it catches:
+    per-band inlining of the signature (multiplies the count by the band
+    count — the round-2 4-8x slowdown), and a silent fallback to the
+    interpreted transform/array_min higher-order column (array_min
+    reappears; measured ~2.3x slower at 20k pages)."""
     from predicate_finder_spark.operators.dedup import minhash_lsh_pairs
 
     docs = small["pages"].select(F.col("url"), F.col("text"))
     pairs = minhash_lsh_pairs(docs, id_col="url", verify_threshold=None)
     plan = pairs._jdf.queryExecution().optimizedPlan().toString()
-    n_sig = len(re.findall(r"array_min", plan))
-    # one signature evaluation per self-join side (the optimizer duplicates
-    # the keyed subtree across the two sides); 8 = per-band inlining (4 bands)
-    assert 1 <= n_sig <= 2, f"signature evaluated {n_sig} times in plan"
+    n_sig = len(re.findall(r"min\(md5\(", plan))
+    assert 16 <= n_sig <= 32, f"signature hash evaluated {n_sig} times in plan"
+    assert "array_min" not in plan, "interpreted HOF signature path reappeared"
 
 
 def test_rows_only_queries_run(spark):
