@@ -205,6 +205,15 @@ def minhash_lsh_pairs(
             word_shingles(tokenize(F.col(text_col)), shingle_k).alias("sh"),
         )
     )
+    # persist-at-the-narrow-waist, same argument as `pairs` above: the
+    # sets frame feeds BOTH verify join branches, and Spark does not dedupe
+    # common subtrees across branches of one plan — left lazy, the corpus
+    # semi-join + candidate shingling executes once PER SIDE (two full
+    # probe passes over the docs frame at 100 TB).  The frame is
+    # candidate-bounded (<= 2 x |pairs| rows), and the count() populates it
+    # before the two branches are submitted concurrently.
+    sets = sets.persist()
+    sets.count()
     verified = (
         pairs.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
