@@ -96,13 +96,19 @@ def main() -> None:
     )
     cfg = PipelineConfig(kg_prededuped=True)
 
+    action = os.environ.get("PROFILE_ACTION", "save")
+
     def one_run():
         t0 = time.time()
-        extract_triples(
+        tri = extract_triples(
             spark, pages, dicts["aliases"], dicts["kg_triples"],
             dicts["ontology"], dicts["embeddings"], cfg,
             idf=idf_df, scorer_dicts=scorer_dicts,
-        ).write.mode("overwrite").format("noop").save()
+        )
+        if action == "count":
+            tri.count()  # mirror bench.py's timed action exactly
+        else:
+            tri.write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
     ui = spark.sparkContext.uiWebUrl

@@ -30,25 +30,44 @@ def _hits(tokens_lower: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens_lower, lambda t: t.isin(*words)))
 
 
-def lang_id(text: Column) -> Column:
+def lang_hits(tokens_lower: Column) -> Column:
+    """Per-profile hit counts -> array<int>, profile order.  Split out so a
+    caller scoring many texts can materialize the array once in its own
+    projection (see plans/curation.py) and feed it to :func:`lang_id`."""
+    return F.array(*[_hits(tokens_lower, words) for words in LANG_PROFILES.values()])
+
+
+def lang_id(
+    text: Column, tokens: Column | None = None, hits: Column | None = None
+) -> Column:
     """Heuristic language ID: argmax of stopword-profile hits -> string.
 
     Returns the language with the most profile-word hits; 'und'
     (undetermined) when nothing matches.  Deterministic tie-break by
-    profile order.
+    profile order (``array_position`` returns the FIRST max index, exactly
+    the strictly-greater chain the loop formulation used).
+
+    Implementation note (measured round 6): the original fold built nested
+    ``when`` chains where every profile's hit count re-appeared inside
+    conditional branches of later iterations — conditionally-evaluated
+    subtrees are exempt from Catalyst's subexpression elimination, so the
+    expression (and its generated code) grew multiplicatively and the
+    tokenize subtree was re-evaluated many times per row (57 s first-call /
+    8 s warm for the 200k-page curation gate vs 1.6 s for this shape,
+    value-identical on all rows).
+
+    ``tokens``: optional pre-lowered token array (shares one tokenize with
+    other gates).  ``hits``: optional pre-computed :func:`lang_hits` array
+    (shares the profile scan between the max and argmax references).
     """
-    toks = F.transform(tokenize(text), F.lower)
-    scored = None
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang, words in LANG_PROFILES.items():
-        h = _hits(toks, words)
-        better = h > best_hits
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(better, h).otherwise(best_hits)
-        scored = True
-    assert scored
-    return best_lang
+    if hits is None:
+        toks = tokens if tokens is not None else F.transform(tokenize(text), F.lower)
+        hits = lang_hits(toks)
+    names = F.array(*[F.lit(lang) for lang in LANG_PROFILES])
+    m = F.array_max(hits)
+    return F.when(
+        m > 0, F.element_at(names, F.array_position(hits, m).cast("int"))
+    ).otherwise(F.lit("und"))
 
 
 def token_count(text: Column) -> Column:
@@ -68,11 +87,15 @@ def word_token_count_bpe_ish(text: Column) -> Column:
     )
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, tokens: Column | None = None) -> Column:
     """Document quality in [0,1]: blend of length, alpha ratio, stopword
     ratio, and mean word length sanity — the usual web-corpus filters
-    (C4-style heuristics), as one codegen'd expression."""
-    toks = F.transform(tokenize(text), F.lower)
+    (C4-style heuristics), as one codegen'd expression.
+
+    ``tokens``: optional pre-lowered token array — callers computing
+    several token-level gates (plans/curation.py) materialize the array
+    once in its own projection instead of re-tokenizing per sub-score."""
+    toks = tokens if tokens is not None else F.transform(tokenize(text), F.lower)
     n = F.size(toks)
     n_d = n.cast("double")
     alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double")
