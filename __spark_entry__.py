@@ -48,6 +48,52 @@ def _tokens(col):
     return F.filter(F.split(col, " "), lambda x: x != F.lit(""))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when the
+    scan plans fewer tasks than cores.  The local sf tables are single
+    parquet files with 1-6 row groups, so a scan - however many cores the
+    box has - runs 1-6 tasks, and every map-heavy stage fused into it
+    (tokenize+explode, partial aggregation, partial window top-k) is
+    serialized on those cores (guide: input splits bound scan parallelism;
+    repartition after a skewed/unsplittable read).  At cluster scale inputs
+    carry >= cores splits and this is a no-op — no shuffle is added.
+    Deterministic: round-robin partitioning sorts within the source
+    partition first (spark.sql.execution.sortBeforeRepartition default),
+    and no declared query's output depends on partitioning."""
+    sc = df.sparkSession.sparkContext
+    if _scan_bytes(df) > 4 * 1024 * 1024 and df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
+def _scan_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate of a frame (file size for a bare parquet
+    scan).  Guards the spread helpers: repartitioning a few hundred KB to
+    32 tasks costs more scheduling than it buys (measured: q12 at sf0.01
+    0.34 s -> 0.74 s without the guard), while the multi-MB sf1.0 tables
+    gain 2-3x."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62  # unknown -> do not block the spread
+
+
+def _spread_by(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition on ``keys`` at full core width when the scan plans
+    fewer tasks than cores.  For a window/aggregation keyed on ``keys``
+    this replaces the operator's own exchange (ClusteredDistribution is
+    satisfied by any hash partitioning on the keys) rather than adding
+    one, so the per-group sort/top-k runs cores-wide instead of inside the
+    1-6 scan tasks a single-file local parquet yields.  Hash repartition
+    pays no sort-before-repartition (that is round-robin only).  At
+    cluster scale the scan has >= cores splits and this is a no-op,
+    keeping the partial window-group-limit shuffle reduction."""
+    sc = df.sparkSession.sparkContext
+    if _scan_bytes(df) > 4 * 1024 * 1024 and df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, *[F.col(k) for k in keys])
+    return df
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship pipeline
 # ---------------------------------------------------------------------------
@@ -191,10 +237,15 @@ def q11_salted_join(spark, sf):
 
 def q12_idf(spark, sf):
     # N folded into the plan (broadcast 1-row agg + cross join): a separate
-    # d.count() would scan the corpus twice
-    d = _t(spark, sf, "documents")
+    # d.count() would scan the corpus twice.
+    # df(word) = docs containing the word: doc_id is the documents table's
+    # row key (unique at every sf), so per-row array_distinct already makes
+    # (doc_id, word) globally unique and the explode can feed the word
+    # aggregation DIRECTLY — one exchange (partial word counts) instead of
+    # two (the old (doc_id, word) distinct shuffled every pair first).
+    d = _spread(_t(spark, sf, "documents"))
     n = d.agg(F.countDistinct("doc_id").alias("__n"))
-    words = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word")).distinct()
+    words = d.select(F.explode(F.array_distinct(_tokens(F.col("text")))).alias("word"))
     return (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -275,7 +326,10 @@ def q19_distinct_count(spark, sf):
 def q20_top1_window(spark, sf):
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
-        _t(spark, sf, "orders")
+        _spread_by(
+            _t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+            "o_custkey",
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"))

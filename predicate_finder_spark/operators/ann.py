@@ -50,11 +50,33 @@ def brute_force_topk(
             F.col(query_id_col),
             dequantize_embedding(quantize_embedding(F.col(vec_col))).alias(vec_col),
         )
+    from predicate_finder_spark.functions.similarity import dot_expr, norm_expr
+
+    # norms are computed ONCE per side, in projections BELOW the cross join
+    # (each corpus row meets every query row: inlining cosine_expr there
+    # re-evaluated the corpus norm per (row, query) and the query norm per
+    # corpus row).  Same expressions, same float order — values unchanged.
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
     )
-    scored = vectors.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q)).withColumn(
-        "cosine", cosine_expr(F.col(vec_col), F.col("__qv"))
+    # a single-file parquet scan plans one task regardless of cores; the
+    # per-row cosine work would then run serially.  Spread BEFORE the norm
+    # projection, and only when the scan's parallelism is below the session
+    # default — at real scale inputs carry enough splits and this is a
+    # no-op, so no corpus shuffle is added.
+    corpus = vectors.select(F.col(id_col), F.col(vec_col))
+    default_par = vectors.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < default_par:
+        corpus = corpus.repartition(default_par)
+    corpus = corpus.select(
+        F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("__vn")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).withColumn(
+        "cosine",
+        dot_expr(F.col(vec_col), F.col("__qv"))
+        / (F.col("__vn") * F.col("__qn") + F.lit(1e-9)),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (

@@ -157,18 +157,40 @@ def minhash_lsh_pairs(
     sig_df = (
         shingled.select(F.col(id_col), F.explode("__sh").alias("__s"))
         .groupBy(id_col)
-        .agg(*sig_cols)
+        .agg(*sig_cols, F.count(F.lit(1)).alias("__n"))
         .select(
             F.col(id_col),
+            F.col("__n"),
             F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig"),
         )
     )
+    # shingle-set size rides the band keys (one int per row): for the verify
+    # path it powers an exact size-compatibility prune below
     keyed = sig_df.select(
-        F.col(id_col), F.explode(lsh_bands(F.col("__sig"), bands, rows)).alias("bk")
+        F.col(id_col), F.col("__n"),
+        F.explode(lsh_bands(F.col("__sig"), bands, rows)).alias("bk"),
     ).select(
-        F.col(id_col), F.concat_ws(":", F.col("bk.band"), F.col("bk.key")).alias("block_key")
+        F.col(id_col), F.col("__n"),
+        F.concat_ws(":", F.col("bk.band"), F.col("bk.key")).alias("block_key"),
     )
-    pairs = _pair_frame(docs, id_col, keyed)
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "block_key")
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "block_key")
+    joined = a.join(b, "block_key").filter(F.col("id_a") < F.col("id_b"))
+    if verify_threshold is not None:
+        # exact-Jaccard upper bound: J(A,B) <= min(|A|,|B|) / max(|A|,|B|)
+        # (the intersection is at most the smaller set, the union at least
+        # the larger).  Pairs below the threshold on that bound can never
+        # verify, so dropping them BEFORE the pair distinct and the
+        # shingle-array joins changes nothing in the output.  Cost: two int
+        # comparisons per banded row; measured round 6 at 200k pages it
+        # prunes ~30% of banding candidates on the size-homogeneous
+        # synthetic corpus — more on real crawls, where doc lengths are
+        # heavy-tailed and most banded collisions pair unequal sizes.
+        joined = joined.filter(
+            F.least("__na", "__nb")
+            >= F.lit(float(verify_threshold)) * F.greatest("__na", "__nb")
+        )
+    pairs = joined.select("id_a", "id_b").distinct()
     if verify_threshold is None:
         return pairs
     # materialize the candidate ids before the verify joins: the pair frame

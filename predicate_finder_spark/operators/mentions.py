@@ -34,7 +34,18 @@ def generate_mentions(sent_df: DataFrame, max_n: int = 3) -> DataFrame:
     explode of the concatenated per-n arrays (single narrow stage, ~max_n x
     token-count rows; the alias join immediately after filters it down).
     """
-    toks = F.col("tokens")
+    # lower each token ONCE in its own projection (a token is re-read by up
+    # to max_n * 2 - 1 grams; the previous shape re-ran lower over the whole
+    # joined gram inside the interpreted HOF).  Per-token lowercase + join
+    # is value-identical to join + lowercase: gram tokens are separated by
+    # spaces, so Java's only context-sensitive lowercase mapping (final
+    # sigma) sees the same right-context either way.  The projection is
+    # referenced several times by the gram expression, so CollapseProject
+    # keeps the boundary and lower runs once per token.
+    base = sent_df.select(
+        "url", "sent_id", F.transform(F.col("tokens"), F.lower).alias("__lt")
+    )
+    toks = F.col("__lt")
     # one nested higher-order expression: for each valid n, for each start
     # offset, emit struct(start, length, surface) — flatten and explode once.
     # (The start index comes straight from the inner lambda variable; no
@@ -49,11 +60,11 @@ def generate_mentions(sent_df: DataFrame, max_n: int = 3) -> DataFrame:
                 lambda i: F.struct(
                     i.cast("int").alias("start"),
                     n.cast("int").alias("length"),
-                    F.lower(F.array_join(F.slice(toks, i + 1, n), " ")).alias("surface"),
+                    F.array_join(F.slice(toks, i + 1, n), " ").alias("surface"),
                 ),
             ),
         )
     )
-    return sent_df.select(
+    return base.select(
         "url", "sent_id", F.explode(grams).alias("g")
     ).select("url", "sent_id", "g.start", "g.length", "g.surface")

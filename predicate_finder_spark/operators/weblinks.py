@@ -56,18 +56,19 @@ def outlink_edges(
     page may legitimately link to itself); empty hrefs never match the
     extraction regex.
     """
-    src = F.col(url_col)
-    dst = F.explode(extract_outlinks(F.col(html_col)))
-    edges = pages.select(src.alias("__src"), dst.alias("__dst"))
+    # per-page work stays BELOW the explode: the src canonicalization (a
+    # ~10-regex chain) runs once per page, not once per edge, and the raw
+    # href list is deduped per page (array_distinct) before fan-out — both
+    # value-identical under the global distinct() that follows, and both
+    # cut the rows the canonicalizer and the distinct exchange must chew
+    # (nav/footer boilerplate repeats the same hrefs on every page).
+    src = canonicalize_url(F.col(url_col)) if canonicalize else F.col(url_col)
+    dst = F.explode(F.array_distinct(extract_outlinks(F.col(html_col))))
+    edges = pages.select(src.alias("src"), dst.alias("__dst"))
     if canonicalize:
-        edges = edges.select(
-            canonicalize_url(F.col("__src")).alias("src"),
-            canonicalize_url(F.col("__dst")).alias("dst"),
-        )
+        edges = edges.select("src", canonicalize_url(F.col("__dst")).alias("dst"))
     else:
-        edges = edges.select(
-            F.col("__src").alias("src"), F.col("__dst").alias("dst")
-        )
+        edges = edges.select("src", F.col("__dst").alias("dst"))
     return edges.distinct()
 
 
@@ -92,12 +93,16 @@ def anchor_texts(
             F.col(html_col).cast("string"), F.lit(_A_PATTERN), 0
         )
     ).alias("__el")
-    exploded = pages.select(F.col(url_col).alias("__src"), el)
+    # src canonicalization below the explode: once per page, not per <a>
+    # element (the extracted-generator rewrite computes non-generator
+    # expressions in the Generate's child projection)
+    src = canonicalize_url(F.col(url_col)) if canonicalize else F.col(url_col)
+    exploded = pages.select(src.alias("src"), el)
     dst = F.regexp_extract("__el", _HREF_PATTERN, 1)
     if canonicalize:
         dst = canonicalize_url(dst)
     return exploded.select(
-        (canonicalize_url(F.col("__src")) if canonicalize else F.col("__src")).alias("src"),
+        "src",
         dst.alias("dst"),
         strip_markup(F.regexp_extract("__el", _A_TEXT_PATTERN, 1)).alias("anchor"),
     ).filter(F.col("anchor") != "")
