@@ -230,9 +230,12 @@ def dump_plans() -> None:
             continue
         dump(name, Q[name](spark, sf_dir))
 
-    # flagship + curation + web plans over a small synthetic corpus (plan
-    # shape is data-size independent; 2k pages keeps the dict bootstrap fast)
-    t, pages = _pages(spark, 2000)
+    # flagship + curation + web plans over a synthetic corpus.  Join
+    # STRATEGY is size-dependent (auto-broadcast thresholds), so PLANS_PAGES
+    # lets the dump run at the bench's 200k pages when the claim under test
+    # is a join strategy; default 2k keeps the dict bootstrap fast for
+    # shape-only questions.
+    t, pages = _pages(spark, int(os.environ.get("PLANS_PAGES", "2000")))
     dicts = {k: t[k] for k in ("aliases", "kg_triples", "ontology", "embeddings")}
     idf_df = build_idf(explode_sentences(extract_pages(pages))).cache()
     idf_df.count()
