@@ -48,22 +48,6 @@ def _tokens(col):
     return F.filter(F.split(col, " "), lambda x: x != F.lit(""))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism when the
-    scan plans fewer tasks than cores.  The local sf tables are single
-    parquet files with 1-6 row groups, so a scan - however many cores the
-    box has - runs 1-6 tasks, and every map-heavy stage fused into it
-    (tokenize+explode, partial aggregation, partial window top-k) is
-    serialized on those cores (guide: input splits bound scan parallelism;
-    repartition after a skewed/unsplittable read).  At cluster scale inputs
-    carry >= cores splits and this is a no-op — no shuffle is added.
-    Deterministic: round-robin partitioning sorts within the source
-    partition first (spark.sql.execution.sortBeforeRepartition default),
-    and no declared query's output depends on partitioning."""
-    sc = df.sparkSession.sparkContext
-    if _scan_bytes(df) > 4 * 1024 * 1024 and df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
 
 
 def _scan_bytes(df: DataFrame) -> int:
@@ -80,14 +64,19 @@ def _scan_bytes(df: DataFrame) -> int:
 
 def _spread_by(df: DataFrame, *keys: str) -> DataFrame:
     """Hash-repartition on ``keys`` at full core width when the scan plans
-    fewer tasks than cores.  For a window/aggregation keyed on ``keys``
-    this replaces the operator's own exchange (ClusteredDistribution is
-    satisfied by any hash partitioning on the keys) rather than adding
-    one, so the per-group sort/top-k runs cores-wide instead of inside the
-    1-6 scan tasks a single-file local parquet yields.  Hash repartition
-    pays no sort-before-repartition (that is round-robin only).  At
-    cluster scale the scan has >= cores splits and this is a no-op,
-    keeping the partial window-group-limit shuffle reduction."""
+    fewer tasks than cores (the local sf tables are single parquet files
+    with ONE row group, so a scan — however many cores the box has — runs
+    one task, and every map-heavy stage fused into it is serialized).
+
+    Keyed on a downstream window/aggregation key, this replaces the
+    operator's own exchange (ClusteredDistribution is satisfied by any
+    hash partitioning on the keys) rather than adding one; keyed on a
+    unique row key it is a plain scan spread.  Either way hash repartition
+    pays no sort-before-repartition (that cost is round-robin-only, which
+    is why the round-robin _spread variant was retired — measured: q19 at
+    sf0.1 0.37 s -> 1.4 s under round-robin's local sort) and row-to-
+    partition assignment is deterministic under task retry (guide §2.5).
+    At cluster scale the scan has >= cores splits and this is a no-op."""
     sc = df.sparkSession.sparkContext
     if _scan_bytes(df) > 4 * 1024 * 1024 and df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism, *[F.col(k) for k in keys])
@@ -194,6 +183,11 @@ def q07_two_direction_union(spark, sf):
 
 
 def q08_eval_join(spark, sf):
+    # examined round 6, deliberately NOT spread: customer auto-broadcasts
+    # (dimension-sized) and the partial aggregation collapses the join
+    # output to 5 rows per task, so the single-task scan+probe+agg is
+    # already cheaper than one extra exchange of the fact side (measured
+    # at 1.5M simulated rows: 0.52 s plain vs 0.72 s spread)
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     return (
@@ -243,7 +237,7 @@ def q12_idf(spark, sf):
     # (doc_id, word) globally unique and the explode can feed the word
     # aggregation DIRECTLY — one exchange (partial word counts) instead of
     # two (the old (doc_id, word) distinct shuffled every pair first).
-    d = _spread(_t(spark, sf, "documents"))
+    d = _spread_by(_t(spark, sf, "documents"), "doc_id")
     n = d.agg(F.countDistinct("doc_id").alias("__n"))
     words = d.select(F.explode(F.array_distinct(_tokens(F.col("text")))).alias("word"))
     return (
@@ -313,8 +307,15 @@ def q18_cube(spark, sf):
 
 
 def q19_distinct_count(spark, sf):
+    # hash-spread on the distinct key: the countDistinct rewrite's heavy
+    # phase is the (l_returnflag, l_partkey) dedup, and partitioning by
+    # l_partkey both spreads it cores-wide and makes the post-shuffle
+    # partial dedup complete (all copies of a pair land together).
+    # Measured at 6M simulated rows: 2.51 s plain / 2.12 s spread-by-both-
+    # keys / 1.79 s this shape.  No-op at cluster scale (guard in
+    # _spread_by).
     return (
-        _t(spark, sf, "lineitem")
+        _spread_by(_t(spark, sf, "lineitem"), "l_partkey")
         .groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").alias("n_parts"),
@@ -351,8 +352,12 @@ def q22_running_sum(spark, sf):
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # hash-spread on the window key: replaces the window's own exchange
+    # (which AQE's size-based coalescing would shrink to a handful of
+    # partitions, serializing the per-user sort) with a pinned core-width
+    # partitioning — same mechanism as q20, no-op at cluster scale.
     return (
-        _t(spark, sf, "events")
+        _spread_by(_t(spark, sf, "events"), "user_id")
         .withColumn("running", F.round(F.sum("value").over(w), 4))
         .select("user_id", "event_id", "running")
     )
@@ -476,6 +481,11 @@ def q36_tumbling_window(spark, sf):
     # hour bucket via pure epoch arithmetic — tz-independent, unlike
     # date_trunc which truncates in the (driver-controlled) session tz
     bucket = (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600).cast("long")
+    # examined round 6, deliberately NOT spread: the map-side partial
+    # aggregation collapses each task's rows to ~#buckets x #types before
+    # any exchange, so the single-task scan+agg beats paying a full-row
+    # exchange first (measured at 1M simulated rows: 0.22 s plain vs
+    # 1.07 s spread)
     return (
         _t(spark, sf, "events")
         .groupBy(bucket.alias("hour_start"), "event_type")

@@ -69,7 +69,11 @@ def brute_force_topk(
     corpus = vectors.select(F.col(id_col), F.col(vec_col))
     default_par = vectors.sparkSession.sparkContext.defaultParallelism
     if corpus.rdd.getNumPartitions() < default_par:
-        corpus = corpus.repartition(default_par)
+        # hash on the unique id, not round-robin: round-robin pays a local
+        # sort of its input (sortBeforeRepartition) serialized inside the
+        # under-parallel scan task — exactly what the spread is avoiding —
+        # and hash assignment is deterministic under task retry
+        corpus = corpus.repartition(default_par, F.col(id_col))
     corpus = corpus.select(
         F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("__vn")
     )
