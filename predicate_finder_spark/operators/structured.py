@@ -102,10 +102,22 @@ def structured_triples(
     """
     from predicate_finder_spark.functions.text import normalize_entity
 
+    # direct map lookup instead of jsonld_triples + filter: exploding every
+    # map entry just to keep pred == 'about' fans out per-key rows and then
+    # drops almost all of them; try_element_at probes the parsed map once
+    # per block (ANSI-safe on missing keys).  Value-identical: from_json's
+    # map cannot hold duplicate keys, so the exploded branch also emitted
+    # at most one 'about' row per block, with exactly this value.
+    js = F.explode(extract_jsonld_blocks(F.col(html_col))).alias("__js")
     about = (
-        jsonld_triples(pages, url_col, html_col)
-        .filter(F.col("pred") == "about")
-        .select("url", F.col("obj").alias("subj_surface"))
+        pages.select(F.col(url_col).alias("url"), js)
+        .select(
+            "url",
+            F.try_element_at(
+                F.from_json("__js", "map<string,string>"), F.lit("about")
+            ).alias("subj_surface"),
+        )
+        .filter(F.col("subj_surface").isNotNull())
     )
     facts = infobox_facts(pages, url_col, html_col)
     onto_keys = (
