@@ -22,7 +22,6 @@ import time
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 MANIFEST = "_manifest.json"
 
@@ -140,19 +139,23 @@ def write_stage(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
 
-    spark = df.sparkSession
-    per_file = (
-        spark.read.parquet(tmp)
-        .groupBy(F.input_file_name().alias("file"))
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .collect()
-    )
-    # key by path relative to the table root so hive-partition subdirs
-    # (lang=en/part-*.parquet) stay distinct
-    partitions = {
-        r["file"].split(".__tmp__/")[-1].split(".__tmp__%2F")[-1]: r["rows"]
-        for r in per_file
-    }
+    # per-file row counts from the parquet FOOTERS of the committed files —
+    # metadata reads only, no second scan of the stage output (the previous
+    # shape re-read the whole table through a groupBy(input_file_name),
+    # one extra full pass per checkpointed stage).  Keys stay relative to
+    # the table root so hive-partition subdirs (lang=en/part-*.parquet)
+    # remain distinct.
+    import pyarrow.parquet as pq
+
+    partitions = {}
+    for root, _dirs, files in os.walk(tmp):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(root, fname)
+            partitions[os.path.relpath(fpath, tmp)] = pq.ParquetFile(
+                fpath
+            ).metadata.num_rows
     manifest = {
         "stage": stage,
         "config_hash": config_hash,

@@ -51,6 +51,32 @@ def test_partitioned_stage_write_and_pruning(spark, corpus, tmp_path):
     assert 0 < n_en < corpus["pages"].count()
 
 
+def test_write_stage_manifest_counts_from_footers(spark, corpus, tmp_path):
+    """Manifest row counts come from parquet footer metadata (no second
+    scan of the stage output): totals and per-file counts must equal what
+    a real read of the committed table reports, for both flat and
+    hive-partitioned layouts."""
+    import pyarrow.parquet as pq
+
+    flat = str(tmp_path / "flat")
+    df = corpus["pages"].select("url", "lang")
+    m = write_stage(df, flat, "flat", "h1")
+    assert m["rows"] == df.count()
+    assert m["rows"] == spark.read.parquet(flat).count()
+    for rel, n in m["partitions"].items():
+        assert pq.ParquetFile(os.path.join(flat, rel)).metadata.num_rows == n
+    assert m["n_files"] == len(m["partitions"]) > 0
+
+    part = str(tmp_path / "part")
+    mp = write_stage(df, part, "part", "h1", partition_by=["lang"])
+    assert mp["rows"] == df.count()
+    assert all("/" in k and k.startswith("lang=") for k in mp["partitions"])
+    by_lang = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in by_lang.items():
+        got = sum(v for k, v in mp["partitions"].items() if k.startswith(f"lang={lang}/"))
+        assert got == n
+
+
 def test_quantize_embedding_roundtrip_bound(spark):
     """Per-component reconstruction error <= scale/2; zero vectors are
     guarded; the whole path is column expressions (no Python worker)."""
